@@ -1,0 +1,696 @@
+"""Training engine and workflows.
+
+Workflow parity with reference src/stamp/modeling/train.py: stratified 75/25
+split (sklearn ``random_state=0`` — kept on sklearn so fold identity matches
+the reference exactly), class-weight computation with under-population
+warnings, default model selection (vit for tiles / mlp otherwise), AdamW +
+OneCycle, early stopping + best-checkpoint on a task-dependent monitor
+(``val_cindex``↑ for survival, ``validation_loss``↓ otherwise), CSV metrics
+log, best checkpoint copied to ``model.ckpt``.
+
+Engine design (TPU-first): one jitted train step over static ``[B, bag, F]``
+shapes; full-bag validation is bucket-padded with a ``key_mask`` for models
+that support masked attention (numerically identical to unpadded eval — see
+stamp_tpu/ops/attention.py), or run at exact shapes otherwise.  Batches are
+host-built numpy and moved with ``jax.device_put`` so the step stays compiled.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import math
+import shutil
+from collections.abc import Callable, Mapping, Sequence
+from functools import partial
+from pathlib import Path
+from typing import Any, cast
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from sklearn.model_selection import train_test_split
+
+from stamp_tpu.modeling.checkpoint import save_checkpoint
+from stamp_tpu.modeling.config import AdvancedConfig, TrainConfig
+from stamp_tpu.modeling.data import (
+    BagDataset,
+    BatchIterator,
+    PatientData,
+    PatientFeatureDataset,
+    _parse_survival_status,
+    create_dataset,
+    load_patient_data_,
+)
+from stamp_tpu.modeling.registry import ModelName, load_model_class
+from stamp_tpu.modeling.tasks import TaskModel
+from stamp_tpu.modeling.transforms import VaryPrecisionTransform
+from stamp_tpu.types import Category, GroundTruth, PandasLabel, PatientId, Task
+from stamp_tpu.utils.seed import Seed
+
+_logger = logging.getLogger("stamp")
+
+
+# ---------------------------------------------------------------------------
+# Workflow entry point
+# ---------------------------------------------------------------------------
+
+
+def train_categorical_model_(*, config: TrainConfig, advanced: AdvancedConfig) -> None:
+    """Reference train.py:45-99."""
+    if config.task is None:
+        raise ValueError(
+            "task must be set to 'classification' | 'regression' | 'survival'"
+        )
+
+    patient_to_data, feature_type = load_patient_data_(
+        feature_dir=config.feature_dir,
+        clini_table=config.clini_table,
+        slide_table=config.slide_table,
+        task=config.task,
+        ground_truth_label=config.ground_truth_label,
+        time_label=config.time_label,
+        status_label=config.status_label,
+        patient_label=config.patient_label,
+        filename_label=config.filename_label,
+        drop_patients_with_missing_ground_truth=(
+            config.drop_patients_with_missing_ground_truth
+        ),
+    )
+    _logger.info(f"Detected feature type: {feature_type}")
+
+    model, train_dl, valid_dl = setup_model_for_training(
+        patient_to_data=patient_to_data,
+        categories=config.categories,
+        task=config.task,
+        advanced=advanced,
+        ground_truth_label=config.ground_truth_label,
+        time_label=config.time_label,
+        status_label=config.status_label,
+        clini_table=config.clini_table,
+        slide_table=config.slide_table,
+        feature_dir=config.feature_dir,
+        train_transform=(
+            VaryPrecisionTransform(min_fraction_bits=1)
+            if config.use_vary_precision_transform
+            else None
+        ),
+        feature_type=feature_type,
+    )
+    train_model_(
+        output_dir=config.output_dir,
+        model=model,
+        train_dl=train_dl,
+        valid_dl=valid_dl,
+        max_epochs=advanced.max_epochs,
+        patience=advanced.patience,
+        accelerator=advanced.accelerator,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Setup helpers (reference train.py:102-501)
+# ---------------------------------------------------------------------------
+
+
+def setup_dataloaders_for_training(
+    *,
+    patient_to_data: Mapping[PatientId, PatientData],
+    task: Task,
+    categories: Sequence[Category] | None,
+    bag_size: int,
+    batch_size: int,
+    num_workers: int,
+    train_transform: Callable | None,
+    feature_type: str,
+) -> tuple[
+    BatchIterator,
+    BatchIterator,
+    Sequence[Category] | Mapping[str, Sequence[Category]],
+    int,
+    Sequence[PatientId],
+    Sequence[PatientId],
+]:
+    """Stratified split + train/valid iterators (reference train.py:354-501)."""
+    del num_workers  # host pipeline is thread-based; kept for config parity
+    ground_truths = [
+        patient_data.ground_truth
+        for patient_data in patient_to_data.values()
+        if patient_data.ground_truth is not None
+    ]
+
+    _logger.info(f"Task: {feature_type} {task}")
+
+    if len(ground_truths) != len(patient_to_data):
+        raise ValueError(
+            "patient_to_data must have a ground truth defined for all targets!"
+        )
+    if task != "classification" and any(isinstance(gt, dict) for gt in ground_truths):
+        raise ValueError(
+            "Multi-target ground truths are only supported for classification tasks"
+        )
+
+    if task == "classification":
+        if ground_truths and isinstance(ground_truths[0], dict):
+            first_key = list(ground_truths[0].keys())[0]
+            stratify: Any = [cast(dict, gt)[first_key] for gt in ground_truths]
+        else:
+            stratify = ground_truths
+    elif task == "survival":
+        statuses: list[int] = []
+        for gt in ground_truths:
+            if isinstance(gt, (tuple, list)) and len(gt) == 2:
+                status_val = gt[1]
+                if status_val is None:
+                    raise ValueError(
+                        "Missing survival status for a patient; cannot stratify"
+                    )
+                statuses.append(int(status_val))
+            else:
+                parts = str(gt).split()
+                status_token = parts[1] if len(parts) >= 2 else parts[0]
+                parsed_status = _parse_survival_status(status_token)
+                if parsed_status is None:
+                    raise ValueError(
+                        "Unrecognized survival status token for stratification: "
+                        f"{status_token!r}"
+                    )
+                statuses.append(int(parsed_status))
+        stratify = statuses
+    else:
+        stratify = None
+
+    train_patients, valid_patients = cast(
+        tuple[Sequence[PatientId], Sequence[PatientId]],
+        train_test_split(
+            list(patient_to_data), stratify=stratify, shuffle=True, random_state=0
+        ),
+    )
+
+    train_ds, train_categories = create_dataset(
+        feature_type=feature_type,
+        task=task,
+        patient_data=[patient_to_data[pid] for pid in train_patients],
+        bag_size=bag_size,
+        shuffle=True,
+        transform=train_transform,
+        categories=categories,
+    )
+    valid_ds, _ = create_dataset(
+        feature_type=feature_type,
+        task=task,
+        patient_data=[patient_to_data[pid] for pid in valid_patients],
+        bag_size=None,
+        shuffle=False,
+        transform=None,
+        categories=train_categories,
+    )
+
+    train_dl = BatchIterator(train_ds, batch_size=batch_size, shuffle=True)
+    valid_dl = BatchIterator(valid_ds, batch_size=1, shuffle=False)
+
+    first = train_ds[0]
+    dim_feats = int(first[0].shape[-1])
+
+    return train_dl, valid_dl, train_categories, dim_feats, train_patients, valid_patients
+
+
+def _compute_class_weights_and_check_categories(
+    *,
+    train_dl: BatchIterator,
+    feature_type: str,
+    train_categories: Sequence[str] | Mapping[str, Sequence[str]],
+) -> np.ndarray | dict[str, np.ndarray]:
+    """Reference train.py:567-621."""
+    dataset = train_dl.dataset
+    if feature_type == "tile":
+        dataset = cast(BagDataset, dataset)
+        if isinstance(dataset.ground_truths, list):
+            weights_per_target: dict[str, np.ndarray] = {}
+            target_keys = dataset.ground_truths[0].keys()
+            for key in target_keys:
+                stacked = np.stack([gt[key] for gt in dataset.ground_truths], axis=0)
+                counts = stacked.sum(axis=0)
+                w = counts.sum() / np.maximum(counts, 1e-12)
+                weights_per_target[key] = (w / w.sum()).astype(np.float32)
+            return weights_per_target
+        category_counts = np.asarray(dataset.ground_truths).sum(axis=0)
+    else:
+        dataset = cast(PatientFeatureDataset, dataset)
+        category_counts = np.asarray(dataset.ground_truths).sum(axis=0)
+
+    cat_ratio_reciprocal = category_counts.sum() / category_counts
+    category_weights = cat_ratio_reciprocal / cat_ratio_reciprocal.sum()
+
+    if len(train_categories) <= 1:
+        raise ValueError(f"not enough categories to train on: {train_categories}")
+    elif (category_counts < 16).any():
+        underpopulated = {
+            category: int(count)
+            for category, count in zip(
+                train_categories, category_counts.tolist(), strict=True
+            )
+            if count < 16
+        }
+        _logger.warning(
+            "Some categories do not have enough samples to meaningfully train "
+            f"a model: {underpopulated}. You may want to consider removing these "
+            "categories; the model will likely overfit on the few samples available."
+        )
+    return category_weights.astype(np.float32)
+
+
+def _resolve_model_and_params(
+    *,
+    task: Task,
+    feature_type: str,
+    advanced: AdvancedConfig,
+    ground_truth_label,
+) -> tuple[type[TaskModel], Any, dict]:
+    """Model defaulting + validation (reference train.py:153-194)."""
+    if advanced.model_name is None:
+        advanced.model_name = ModelName.VIT if feature_type == "tile" else ModelName.MLP
+        _logger.info(
+            f"No model specified, defaulting to '{advanced.model_name.value}' "
+            f"for feature type '{feature_type}'"
+        )
+
+    if (
+        task == "classification"
+        and isinstance(ground_truth_label, str)
+        and advanced.model_name == ModelName.BARSPOON
+    ):
+        raise ValueError(
+            "Model 'barspoon' requires multi-target classification. "
+            "For single-target classification set model_name to 'vit', "
+            "'trans_mil', or 'mlp'."
+        )
+
+    LitModelClass, ModelClass = load_model_class(task, feature_type, advanced.model_name)
+
+    if feature_type not in LitModelClass.supported_features:
+        raise ValueError(
+            f"Model '{advanced.model_name.value}' does not support feature type "
+            f"'{feature_type}'. Supported types are: {LitModelClass.supported_features}"
+        )
+    elif feature_type in ("slide", "patient") and advanced.model_name.value.lower() not in {
+        "mlp",
+        "linear",
+    }:
+        raise ValueError(
+            f"Feature type '{feature_type}' only supports MLP or Linear. "
+            f"Got '{advanced.model_name.value}'. Please set model_name='mlp' or 'linear'."
+        )
+
+    model_specific_params = (
+        advanced.model_params.model_dump().get(advanced.model_name.value) or {}
+    )
+    return LitModelClass, ModelClass, model_specific_params
+
+
+def setup_model_from_dataloaders(
+    *,
+    train_dl: BatchIterator,
+    valid_dl: BatchIterator,
+    task: Task,
+    train_categories: Sequence[Category] | Mapping[str, Sequence[Category]],
+    dim_feats: int,
+    train_patients: Sequence[PatientId],
+    valid_patients: Sequence[PatientId],
+    feature_type: str,
+    advanced: AdvancedConfig,
+    ground_truth_label,
+    time_label: PandasLabel | None,
+    status_label: PandasLabel | None,
+    clini_table: Path,
+    slide_table: Path | None,
+    feature_dir: Path,
+) -> TaskModel:
+    """Reference train.py:236-351."""
+    del valid_dl
+    category_weights: Any = []
+    if task == "classification":
+        category_weights = _compute_class_weights_and_check_categories(
+            train_dl=train_dl,
+            feature_type=feature_type,
+            train_categories=train_categories,
+        )
+
+    LitModelClass, ModelClass, model_specific_params = _resolve_model_and_params(
+        task=task,
+        feature_type=feature_type,
+        advanced=advanced,
+        ground_truth_label=ground_truth_label,
+    )
+
+    steps_per_epoch = len(train_dl)
+    total_steps = steps_per_epoch * advanced.max_epochs
+
+    common_params = {
+        "categories": train_categories,
+        "category_weights": category_weights,
+        "dim_input": dim_feats,
+        "total_steps": total_steps,
+        "max_lr": advanced.max_lr,
+        "div_factor": advanced.div_factor,
+        "model_name": advanced.model_name.value,
+        "ground_truth_label": ground_truth_label,
+        "time_label": time_label,
+        "status_label": status_label,
+        "train_patients": list(train_patients),
+        "valid_patients": list(valid_patients),
+        "clini_table": str(clini_table),
+        "slide_table": str(slide_table) if slide_table is not None else None,
+        "feature_dir": str(feature_dir),
+    }
+    if task != "classification":
+        common_params.pop("categories")
+        common_params.pop("category_weights")
+    if task != "survival":
+        common_params.pop("time_label")
+        common_params.pop("status_label")
+
+    all_params = {**common_params, **model_specific_params}
+    _logger.info(
+        f"Instantiating model '{advanced.model_name.value}' with parameters: "
+        f"{model_specific_params}"
+    )
+    return LitModelClass(model_class=ModelClass, **all_params)
+
+
+def setup_model_for_training(
+    *,
+    patient_to_data: Mapping[PatientId, PatientData],
+    task: Task,
+    categories: Sequence[Category] | None,
+    train_transform: Callable | None,
+    feature_type: str,
+    advanced: AdvancedConfig,
+    ground_truth_label,
+    time_label: PandasLabel | None,
+    status_label: PandasLabel | None,
+    clini_table: Path,
+    slide_table: Path | None,
+    feature_dir: Path,
+) -> tuple[TaskModel, BatchIterator, BatchIterator]:
+    """Reference train.py:102-233."""
+    (
+        train_dl,
+        valid_dl,
+        train_categories,
+        dim_feats,
+        train_patients,
+        valid_patients,
+    ) = setup_dataloaders_for_training(
+        patient_to_data=patient_to_data,
+        task=task,
+        categories=categories,
+        bag_size=advanced.bag_size,
+        batch_size=advanced.batch_size,
+        num_workers=advanced.num_workers,
+        train_transform=train_transform,
+        feature_type=feature_type,
+    )
+
+    model = setup_model_from_dataloaders(
+        train_dl=train_dl,
+        valid_dl=valid_dl,
+        task=task,
+        train_categories=train_categories,
+        dim_feats=dim_feats,
+        train_patients=train_patients,
+        valid_patients=valid_patients,
+        feature_type=feature_type,
+        advanced=advanced,
+        ground_truth_label=ground_truth_label,
+        time_label=time_label,
+        status_label=status_label,
+        clini_table=clini_table,
+        slide_table=slide_table,
+        feature_dir=feature_dir,
+    )
+    return model, train_dl, valid_dl
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+def _bucket_size(n: int, *, minimum: int = 512) -> int:
+    """Next power-of-two ≥ n (≥ minimum) — bounds recompilation to O(log T)."""
+    if n <= minimum:
+        return minimum
+    return 1 << math.ceil(math.log2(n))
+
+
+def _pad_tile_batch(batch, bucket: int):
+    """Pad a tile batch's tile dim to `bucket`, returning (batch, key_mask)."""
+    bags, coords, sizes, targets = batch
+    b, t, f = bags.shape
+    if t < bucket:
+        bags = np.concatenate(
+            [bags, np.zeros((b, bucket - t, f), dtype=bags.dtype)], axis=1
+        )
+        coords = np.concatenate(
+            [coords, np.zeros((b, bucket - t, 2), dtype=coords.dtype)], axis=1
+        )
+    key_mask = (
+        np.arange(bucket)[None, :] < np.asarray(sizes)[:, None]
+    )
+    return (bags, coords, sizes, targets), key_mask
+
+
+class _EpochLogger:
+    """CSV metrics logger, lightning-CSVLogger-compatible directory layout."""
+
+    def __init__(self, output_dir: Path) -> None:
+        self.log_dir = output_dir / "lightning_logs" / "version_0"
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.log_dir / "metrics.csv"
+        self.rows: list[dict] = []
+        self.keys: list[str] = []
+
+    def log(self, row: dict) -> None:
+        self.rows.append(row)
+        for k in row:
+            if k not in self.keys:
+                self.keys.append(k)
+        with open(self.path, "w", newline="") as fp:
+            writer = csv.DictWriter(fp, fieldnames=self.keys)
+            writer.writeheader()
+            for r in self.rows:
+                writer.writerow(r)
+
+
+def train_model_(
+    *,
+    output_dir: Path,
+    model: TaskModel,
+    train_dl: BatchIterator,
+    valid_dl: BatchIterator,
+    max_epochs: int,
+    patience: int,
+    accelerator: str | None = None,
+) -> tuple[TaskModel, Any]:
+    """Trains a model; saves the best checkpoint to ``output_dir/model.ckpt``.
+
+    Returns (task_model, best_variables).
+    """
+    del accelerator  # jax picks the backend; kept for signature parity
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    monitor_metric, mode = model.monitor
+    sign = 1.0 if mode == "min" else -1.0
+    is_tile = model.supported_features[0] == "tile"
+    is_survival = model.task_name == "survival"
+
+    # --- init ---
+    rng = Seed.jax_key()
+    example = next(iter(train_dl))
+    variables = model.init_variables(rng, example)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    tx = model.make_optimizer()
+    opt_state = tx.init(params)
+
+    module = model.module
+    uses_coords = model.uses_coords
+    loss_fn_task = model.loss
+
+    is_multitarget = isinstance(getattr(model, "weights", None), dict)
+
+    def apply_model(variables, batch, *, train, rngs):
+        if is_tile:
+            bags, coords, _sizes, _t = batch
+            kwargs = dict(train=train)
+            if uses_coords:
+                kwargs.update(coords=coords, key_mask=None)
+            out = module.apply(
+                variables, bags, **kwargs, rngs=rngs, mutable=["alibi_stats"]
+            )
+        else:
+            feats, _t = batch
+            out = module.apply(
+                variables, feats, train=train, rngs=rngs, mutable=["alibi_stats"]
+            )
+        return out  # (outputs, mutated)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, model_state, batch, step_rng):
+        def loss_fn(p):
+            variables = {"params": p, **model_state}
+            outputs, mutated = apply_model(
+                variables, batch, train=True, rngs={"dropout": step_rng}
+            )
+            loss = loss_fn_task(outputs, batch)
+            return loss, (mutated, outputs)
+
+        (loss, (mutated, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mutated, loss, outputs
+
+    @jax.jit
+    def eval_step_padded(params, model_state, bags, coords, key_mask):
+        variables = {"params": params, **model_state}
+        kwargs: dict = dict(train=False)
+        if uses_coords:
+            kwargs.update(coords=coords, key_mask=jnp.asarray(key_mask))
+        return module.apply(variables, bags, **kwargs)
+
+    @jax.jit
+    def eval_step_exact(params, model_state, *inputs):
+        variables = {"params": params, **model_state}
+        if is_tile:
+            bags, coords = inputs
+            kwargs = dict(train=False)
+            if uses_coords:
+                kwargs.update(coords=coords, key_mask=None)
+            return module.apply(variables, bags, **kwargs)
+        (feats,) = inputs
+        return module.apply(variables, feats, train=False)
+
+    logger = _EpochLogger(output_dir)
+    best_value = math.inf
+    best_variables = None
+    best_ckpt_path: Path | None = None
+    wait = 0
+    global_step = 0
+
+    supports_mask = is_tile and bool(getattr(module, "supports_coords", False))
+
+    for epoch in range(max_epochs):
+        # ---- train ----
+        train_losses = []
+        train_outputs = []
+        for batch in train_dl:
+            rng, step_rng = jax.random.split(rng)
+            device_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            params, opt_state, mutated, loss, outputs = train_step(
+                params, opt_state, model_state, device_batch, step_rng
+            )
+            if mutated:
+                model_state = mutated
+            train_losses.append(loss)
+            if is_survival:
+                train_outputs.append(np.asarray(outputs).reshape(-1))
+            global_step += 1
+
+        train_loss = float(np.mean([np.asarray(loss) for loss in train_losses]))
+
+        if is_survival and train_outputs:
+            model.train_pred_median = float(np.median(np.concatenate(train_outputs)))
+            model.hparams["train_pred_median"] = model.train_pred_median
+
+        # ---- validate ----
+        val_outputs: list = []
+        val_targets: list = []
+        for batch in valid_dl:
+            if is_tile:
+                if supports_mask:
+                    bucket = _bucket_size(batch[0].shape[1])
+                    (bags, coords, sizes, targets), key_mask = _pad_tile_batch(
+                        batch, bucket
+                    )
+                    out = eval_step_padded(
+                        params,
+                        model_state,
+                        jnp.asarray(bags),
+                        jnp.asarray(coords),
+                        jnp.asarray(key_mask),
+                    )
+                else:
+                    bags, coords, sizes, targets = batch
+                    out = eval_step_exact(
+                        params, model_state, jnp.asarray(bags), jnp.asarray(coords)
+                    )
+            else:
+                feats, targets = batch
+                out = eval_step_exact(params, model_state, jnp.asarray(feats))
+            if is_multitarget:
+                val_outputs.append({k: np.asarray(v) for k, v in out.items()})
+            else:
+                val_outputs.append(np.asarray(out))
+            val_targets.append(targets)
+
+        metrics = model.validation_metrics(val_outputs, val_targets)
+        metrics["training_loss"] = train_loss
+        metrics["epoch"] = epoch
+        metrics["step"] = global_step
+        if is_survival and model.train_pred_median is not None:
+            metrics["train_pred_median"] = model.train_pred_median
+        logger.log(metrics)
+
+        current = metrics.get(monitor_metric, math.nan)
+        _logger.info(
+            f"epoch {epoch}: "
+            + " ".join(
+                f"{k}={v:.4f}"
+                for k, v in metrics.items()
+                if k not in ("epoch", "step") and isinstance(v, float)
+            )
+        )
+
+        improved = not math.isnan(current) and sign * current < best_value
+        if improved:
+            best_value = sign * current
+            wait = 0
+            variables_now = {"params": params, **model_state}
+            best_variables = jax.tree_util.tree_map(np.asarray, variables_now)
+            ckpt_dir = output_dir / "checkpoints"
+            ckpt_dir.mkdir(exist_ok=True, parents=True)
+            if best_ckpt_path is not None and best_ckpt_path.exists():
+                best_ckpt_path.unlink()  # save_top_k=1 semantics
+            best_ckpt_path = (
+                ckpt_dir / f"checkpoint-epoch={epoch:02d}-{monitor_metric}={current:0.3f}.ckpt"
+            )
+            save_checkpoint(
+                best_ckpt_path,
+                hyper_parameters=model.checkpoint_hparams(),
+                variables=best_variables,
+            )
+        else:
+            wait += 1
+            if wait >= patience:
+                _logger.info(f"early stopping at epoch {epoch}")
+                break
+
+    if best_ckpt_path is None:
+        # no epoch improved (e.g. all-nan monitor): save the final state
+        best_variables = jax.tree_util.tree_map(
+            np.asarray, {"params": params, **model_state}
+        )
+        best_ckpt_path = output_dir / "checkpoints" / "checkpoint-final.ckpt"
+        save_checkpoint(
+            best_ckpt_path,
+            hyper_parameters=model.checkpoint_hparams(),
+            variables=best_variables,
+        )
+
+    shutil.copy(best_ckpt_path, output_dir / "model.ckpt")
+    return model, best_variables

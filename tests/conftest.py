@@ -1,0 +1,13 @@
+import os
+import sys
+from pathlib import Path
+
+# Tests run on a virtual 8-device CPU mesh so sharding is exercised without
+# TPU hardware; single-chip TPU runs are covered by bench.py / __graft_entry__.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
