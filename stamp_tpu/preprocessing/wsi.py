@@ -1,0 +1,306 @@
+"""Whole-slide-image reading.
+
+The reference delegates WSI decoding to OpenSlide (reference tiling.py:24).
+This framework ships its own reader stack:
+
+* ``CTiffSlide`` — native C++ reader (native/wsireader.cpp, libtiff+libjpeg)
+  for tiled pyramidal TIFF / Aperio SVS, loaded via ctypes.  This is the
+  production path: region reads decode only the intersecting tiles, run
+  multithreaded on the host, and feed pinned buffers to the device pipeline.
+* ``ImageSlide`` — PIL-backed fallback for plain images (png/jpeg/small tiffs),
+  mirroring ``openslide.ImageSlide``.
+
+``open_slide`` dispatches by file content.  MPP extraction follows the
+reference's cascade (tiling.py:409-475): resolution properties → embedded
+comment ``<PixelSizeMicrons>`` → OME-XML ``PhysicalSizeX`` → SVS description
+``MPP = …`` → TIFF resolution tags.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import re
+import xml.dom.minidom as minidom
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from stamp_tpu.types import SlideMPP
+
+_logger = logging.getLogger("stamp")
+
+Image.MAX_IMAGE_PIXELS = None
+
+PROPERTY_NAME_MPP_X = "openslide.mpp-x"
+
+
+class MPPExtractionError(Exception):
+    """Raised when the MPP extraction from the slide's metadata fails."""
+
+
+class ImageSlide:
+    """PIL-backed slide for plain images (parity with openslide.ImageSlide)."""
+
+    def __init__(self, image: Image.Image | Path | str) -> None:
+        if not isinstance(image, Image.Image):
+            image = Image.open(image)
+        self._image = image
+        self.properties: dict[str, str] = {}
+        info_desc = image.info.get("description") if hasattr(image, "info") else None
+        if info_desc:
+            self.properties["tiff.ImageDescription"] = str(info_desc)
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return self._image.size
+
+    def read_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> Image.Image:
+        if level != 0:
+            raise ValueError("ImageSlide only has level 0")
+        x, y = location
+        w, h = size
+        region = Image.new("RGBA", (w, h), (255, 255, 255, 0))
+        crop = self._image.convert("RGBA").crop(
+            (x, y, min(x + w, self._image.size[0]), min(y + h, self._image.size[1]))
+        )
+        region.paste(crop, (0, 0))
+        return region
+
+    def get_thumbnail(self, size: tuple[int, int]) -> Image.Image:
+        thumb = self._image.convert("RGB").copy()
+        thumb.thumbnail(size, Image.Resampling.LANCZOS)
+        return thumb
+
+
+# ---------------------------------------------------------------------------
+# Native libtiff-backed reader
+# ---------------------------------------------------------------------------
+
+_NATIVE_LIB_PATHS = [
+    Path(__file__).resolve().parent.parent.parent / "native" / "build" / "libwsireader.so",
+    Path(__file__).resolve().parent / "_native" / "libwsireader.so",
+]
+
+_native: ctypes.CDLL | None = None
+_native_checked = False
+
+
+def _load_native() -> ctypes.CDLL | None:
+    global _native, _native_checked
+    if _native_checked:
+        return _native
+    _native_checked = True
+    for p in _NATIVE_LIB_PATHS:
+        if p.exists():
+            try:
+                lib = ctypes.CDLL(str(p))
+                lib.wsi_open.restype = ctypes.c_void_p
+                lib.wsi_open.argtypes = [ctypes.c_char_p]
+                lib.wsi_close.argtypes = [ctypes.c_void_p]
+                lib.wsi_width.restype = ctypes.c_int64
+                lib.wsi_width.argtypes = [ctypes.c_void_p]
+                lib.wsi_height.restype = ctypes.c_int64
+                lib.wsi_height.argtypes = [ctypes.c_void_p]
+                lib.wsi_level_count.restype = ctypes.c_int32
+                lib.wsi_level_count.argtypes = [ctypes.c_void_p]
+                lib.wsi_description.restype = ctypes.c_char_p
+                lib.wsi_description.argtypes = [ctypes.c_void_p]
+                lib.wsi_mpp.restype = ctypes.c_double
+                lib.wsi_mpp.argtypes = [ctypes.c_void_p]
+                lib.wsi_read_region.restype = ctypes.c_int32
+                lib.wsi_read_region.argtypes = [
+                    ctypes.c_void_p,  # handle
+                    ctypes.c_int64,  # x
+                    ctypes.c_int64,  # y
+                    ctypes.c_int64,  # w
+                    ctypes.c_int64,  # h
+                    ctypes.c_void_p,  # out buffer (RGBA)
+                ]
+                lib.wsi_read_level.restype = ctypes.c_int32
+                lib.wsi_read_level.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_int32,  # level index
+                    ctypes.c_void_p,  # out buffer
+                ]
+                lib.wsi_level_width.restype = ctypes.c_int64
+                lib.wsi_level_width.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                lib.wsi_level_height.restype = ctypes.c_int64
+                lib.wsi_level_height.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                _native = lib
+                break
+            except OSError as e:  # pragma: no cover
+                _logger.debug(f"could not load native wsi reader {p}: {e}")
+    return _native
+
+
+class CTiffSlide:
+    """Pyramidal TIFF / SVS slide backed by the native C++ reader."""
+
+    def __init__(self, path: Path | str) -> None:
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native wsi reader library not built")
+        self._lib = lib
+        self._handle = lib.wsi_open(str(path).encode())
+        if not self._handle:
+            raise RuntimeError(f"could not open slide {path}")
+        self.path = Path(path)
+        self.properties: dict[str, str] = {}
+        desc = lib.wsi_description(self._handle)
+        if desc:
+            self.properties["tiff.ImageDescription"] = desc.decode(errors="replace")
+        mpp = lib.wsi_mpp(self._handle)
+        if mpp > 0:
+            self.properties[PROPERTY_NAME_MPP_X] = str(mpp)
+            self.properties["openslide.mpp-y"] = str(mpp)
+
+    def __del__(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.wsi_close(self._handle)
+            self._handle = None
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return (
+            int(self._lib.wsi_width(self._handle)),
+            int(self._lib.wsi_height(self._handle)),
+        )
+
+    def read_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> Image.Image:
+        if level != 0:
+            raise ValueError("only level-0 reads are supported")
+        x, y = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        buf = np.empty((h, w, 4), dtype=np.uint8)
+        rc = self._lib.wsi_read_region(
+            self._handle, x, y, w, h, buf.ctypes.data_as(ctypes.c_void_p)
+        )
+        if rc != 0:
+            raise RuntimeError(f"read_region failed with code {rc}")
+        return Image.fromarray(buf, "RGBA")
+
+    def read_region_array(
+        self, location: tuple[int, int], size: tuple[int, int]
+    ) -> np.ndarray:
+        """Zero-PIL fast path: level-0 region as an RGBA uint8 array."""
+        x, y = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        buf = np.empty((h, w, 4), dtype=np.uint8)
+        rc = self._lib.wsi_read_region(
+            self._handle, x, y, w, h, buf.ctypes.data_as(ctypes.c_void_p)
+        )
+        if rc != 0:
+            raise RuntimeError(f"read_region failed with code {rc}")
+        return buf
+
+    def get_thumbnail(self, size: tuple[int, int]) -> Image.Image:
+        # use the smallest pyramid level at least as large as `size`
+        n = int(self._lib.wsi_level_count(self._handle))
+        best = 0
+        for i in range(n - 1, -1, -1):
+            lw = int(self._lib.wsi_level_width(self._handle, i))
+            lh = int(self._lib.wsi_level_height(self._handle, i))
+            if lw >= size[0] or lh >= size[1]:
+                best = i
+                break
+        lw = int(self._lib.wsi_level_width(self._handle, best))
+        lh = int(self._lib.wsi_level_height(self._handle, best))
+        buf = np.empty((lh, lw, 4), dtype=np.uint8)
+        rc = self._lib.wsi_read_level(
+            self._handle, best, buf.ctypes.data_as(ctypes.c_void_p)
+        )
+        if rc != 0:
+            raise RuntimeError(f"reading level {best} failed with code {rc}")
+        img = Image.fromarray(buf, "RGBA").convert("RGB")
+        img.thumbnail(size, Image.Resampling.LANCZOS)
+        return img
+
+
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+")
+
+
+def open_slide(path: Path | str):
+    """Open a slide with the best available backend."""
+    path = Path(path)
+    with open(path, "rb") as fp:
+        magic = fp.read(4)
+    if magic in _TIFF_MAGICS and _load_native() is not None:
+        try:
+            return CTiffSlide(path)
+        except Exception as e:
+            _logger.debug(f"native reader failed on {path} ({e}), trying PIL")
+    return ImageSlide(path)
+
+
+# ---------------------------------------------------------------------------
+# MPP extraction (reference tiling.py:409-475)
+# ---------------------------------------------------------------------------
+
+
+def _extract_mpp_from_comments(slide) -> SlideMPP | None:
+    slide_properties = slide.properties.get("openslide.comment", "")
+    match = re.search(r"<PixelSizeMicrons>(.*?)</PixelSizeMicrons>", slide_properties)
+    if match is not None and (mpp := match.group(1)) is not None:
+        return SlideMPP(float(mpp))
+    return None
+
+
+def _extract_mpp_from_metadata(slide) -> SlideMPP | None:
+    try:
+        xml_text = slide.properties.get("tiff.ImageDescription") or None
+        if xml_text is None:
+            return None
+        doc = minidom.parseString(xml_text)
+        collection = doc.documentElement
+        if collection is None:
+            return None
+        images = collection.getElementsByTagName("Image")
+        pixels = images[0].getElementsByTagName("Pixels")
+        mpp = float(pixels[0].getAttribute("PhysicalSizeX"))
+    except Exception:
+        return None
+    return SlideMPP(mpp)
+
+
+def _extract_mpp_from_svs_description(slide) -> SlideMPP | None:
+    """Aperio SVS puts ``|MPP = 0.25|`` into the TIFF description."""
+    desc = slide.properties.get("tiff.ImageDescription", "")
+    match = re.search(r"MPP\s*=\s*([0-9.]+)", desc)
+    if match:
+        try:
+            return SlideMPP(float(match.group(1)))
+        except ValueError:
+            return None
+    return None
+
+
+def get_slide_mpp_(slide, *, default_mpp: SlideMPP | None) -> SlideMPP | None:
+    """MPP extraction cascade; raises MPPExtractionError when nothing works
+    and no default is given (reference tiling.py:409-446)."""
+    if isinstance(slide, (str, Path)):
+        slide = open_slide(slide)
+
+    slide_mpp: SlideMPP | None = None
+    if PROPERTY_NAME_MPP_X in slide.properties:
+        slide_mpp = SlideMPP(float(slide.properties[PROPERTY_NAME_MPP_X]))
+    elif slide_mpp := _extract_mpp_from_comments(slide):
+        pass
+    elif slide_mpp := _extract_mpp_from_metadata(slide):
+        pass
+    elif slide_mpp := _extract_mpp_from_svs_description(slide):
+        pass
+
+    if slide_mpp is None and default_mpp:
+        _logger.warning(
+            f"could not infer slide MPP from metadata, using {default_mpp} instead."
+        )
+    elif slide_mpp is None and default_mpp is None:
+        raise MPPExtractionError()
+
+    return slide_mpp or default_mpp
