@@ -1,0 +1,267 @@
+// wsireader — native whole-slide-image reader for stamp_tpu.
+//
+// Replaces the OpenSlide dependency of the reference pipeline with a small,
+// self-contained libtiff-based reader for pyramidal TIFF / Aperio SVS files
+// (JPEG / LZW / Deflate compressed; JPEG2000-coded SVS is detected and
+// rejected with a clear error).  Exposed as a C ABI consumed from Python via
+// ctypes (stamp_tpu/preprocessing/wsi.py).
+//
+// Design notes:
+//  * read_region decodes only the TIFF tiles intersecting the request and
+//    copies them into the caller-provided RGBA buffer — no full-level decode.
+//  * per-handle state is NOT thread safe (libtiff handles are not); callers
+//    that want parallel reads open one handle per worker thread.  Handles are
+//    cheap (no pixel data is touched at open time).
+//  * pyramid levels are TIFF directories whose aspect ratio matches level 0;
+//    thumbnails read the smallest sufficient level.
+
+#include <tiffio.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Level {
+  uint16_t dir_index;
+  int64_t width;
+  int64_t height;
+};
+
+struct Slide {
+  TIFF* tif = nullptr;
+  std::vector<Level> levels;  // sorted by size, levels[0] = full resolution
+  std::string description;
+  double mpp = -1.0;
+};
+
+void parse_mpp(Slide* s) {
+  // Aperio SVS: "...|MPP = 0.2529|..."
+  const std::string& d = s->description;
+  size_t pos = d.find("MPP");
+  if (pos != std::string::npos) {
+    pos = d.find('=', pos);
+    if (pos != std::string::npos) {
+      try {
+        double v = std::stod(d.substr(pos + 1));
+        if (v > 0 && v < 1000) {
+          s->mpp = v;
+          return;
+        }
+      } catch (...) {
+      }
+    }
+  }
+  // Generic TIFF resolution tags.
+  TIFFSetDirectory(s->tif, s->levels[0].dir_index);
+  float xres = 0.0f;
+  uint16_t res_unit = RESUNIT_INCH;
+  if (TIFFGetField(s->tif, TIFFTAG_XRESOLUTION, &xres) && xres > 0) {
+    TIFFGetFieldDefaulted(s->tif, TIFFTAG_RESOLUTIONUNIT, &res_unit);
+    if (res_unit == RESUNIT_CENTIMETER) {
+      s->mpp = 10000.0 / xres;  // px per cm → µm per px
+    } else if (res_unit == RESUNIT_INCH) {
+      s->mpp = 25400.0 / xres;
+    }
+  }
+}
+
+bool is_supported_compression(TIFF* tif) {
+  uint16_t comp = COMPRESSION_NONE;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &comp);
+  // 33003/33005: Aperio JPEG2000 — not decodable by stock libtiff.
+  if (comp == 33003 || comp == 33005) return false;
+  return TIFFIsCODECConfigured(comp) != 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* wsi_open(const char* path) {
+  TIFF* tif = TIFFOpen(path, "rm");  // m: no mmap (large files)
+  if (!tif) return nullptr;
+
+  Slide* s = new Slide;
+  s->tif = tif;
+
+  // Enumerate directories.
+  struct DirInfo {
+    uint16_t idx;
+    int64_t w, h;
+    bool tiled;
+  };
+  std::vector<DirInfo> dirs;
+  uint16_t idx = 0;
+  do {
+    uint32_t w = 0, h = 0;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+    if (w > 0 && h > 0) {
+      dirs.push_back({idx, (int64_t)w, (int64_t)h, TIFFIsTiled(tif) != 0});
+    }
+    if (idx == 0) {
+      char* desc = nullptr;
+      if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc) {
+        s->description = desc;
+      }
+    }
+    idx++;
+  } while (TIFFReadDirectory(tif));
+
+  if (dirs.empty()) {
+    TIFFClose(tif);
+    delete s;
+    return nullptr;
+  }
+
+  // Full resolution = largest directory.
+  auto main_it = std::max_element(
+      dirs.begin(), dirs.end(),
+      [](const DirInfo& a, const DirInfo& b) { return a.w * a.h < b.w * b.h; });
+  const double aspect = (double)main_it->w / (double)main_it->h;
+
+  for (const auto& d : dirs) {
+    const double a = (double)d.w / (double)d.h;
+    // keep directories on the same pyramid (aspect within 5%)
+    if (std::abs(a - aspect) / aspect < 0.05) {
+      s->levels.push_back({d.idx, d.w, d.h});
+    }
+  }
+  std::sort(s->levels.begin(), s->levels.end(),
+            [](const Level& a, const Level& b) {
+              return a.width * a.height > b.width * b.height;
+            });
+
+  TIFFSetDirectory(tif, s->levels[0].dir_index);
+  if (!is_supported_compression(tif)) {
+    TIFFClose(tif);
+    delete s;
+    return nullptr;
+  }
+
+  parse_mpp(s);
+  return s;
+}
+
+void wsi_close(void* handle) {
+  Slide* s = (Slide*)handle;
+  if (!s) return;
+  if (s->tif) TIFFClose(s->tif);
+  delete s;
+}
+
+int64_t wsi_width(void* handle) { return ((Slide*)handle)->levels[0].width; }
+int64_t wsi_height(void* handle) { return ((Slide*)handle)->levels[0].height; }
+int32_t wsi_level_count(void* handle) {
+  return (int32_t)((Slide*)handle)->levels.size();
+}
+int64_t wsi_level_width(void* handle, int32_t level) {
+  Slide* s = (Slide*)handle;
+  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
+  return s->levels[level].width;
+}
+int64_t wsi_level_height(void* handle, int32_t level) {
+  Slide* s = (Slide*)handle;
+  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
+  return s->levels[level].height;
+}
+const char* wsi_description(void* handle) {
+  return ((Slide*)handle)->description.c_str();
+}
+double wsi_mpp(void* handle) { return ((Slide*)handle)->mpp; }
+
+// Read a level-0 region into out (RGBA, h×w×4, row-major top-left origin).
+// Out-of-bounds areas are filled with opaque white (OpenSlide fills
+// transparent black; white matches the background-rejection expectations of
+// the tiling stage).
+int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
+                        int64_t h, void* out) {
+  Slide* s = (Slide*)handle;
+  if (!s || !out || w <= 0 || h <= 0) return 1;
+  TIFF* tif = s->tif;
+  const Level& lvl = s->levels[0];
+  if (!TIFFSetDirectory(tif, lvl.dir_index)) return 2;
+
+  uint8_t* dst = (uint8_t*)out;
+  // background fill: white, opaque
+  std::memset(dst, 0xFF, (size_t)w * h * 4);
+
+  const int64_t x0 = std::max<int64_t>(x, 0);
+  const int64_t y0 = std::max<int64_t>(y, 0);
+  const int64_t x1 = std::min<int64_t>(x + w, lvl.width);
+  const int64_t y1 = std::min<int64_t>(y + h, lvl.height);
+  if (x0 >= x1 || y0 >= y1) return 0;  // fully outside
+
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    if (tw == 0 || th == 0) return 3;
+
+    std::vector<uint32_t> tile((size_t)tw * th);
+    for (int64_t ty = (y0 / th) * th; ty < y1; ty += th) {
+      for (int64_t tx = (x0 / tw) * tw; tx < x1; tx += tw) {
+        if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty, tile.data())) {
+          return 4;
+        }
+        // TIFFReadRGBATile returns bottom-up rows; raster row r corresponds
+        // to image row ty + (th - 1 - r).
+        const int64_t cx0 = std::max<int64_t>(tx, x0);
+        const int64_t cx1 = std::min<int64_t>(tx + tw, x1);
+        const int64_t cy0 = std::max<int64_t>(ty, y0);
+        const int64_t cy1 = std::min<int64_t>(ty + th, y1);
+        for (int64_t iy = cy0; iy < cy1; ++iy) {
+          const int64_t raster_row = th - 1 - (iy - ty);
+          const uint32_t* src_row = tile.data() + raster_row * tw + (cx0 - tx);
+          uint8_t* dst_row = dst + ((iy - y) * w + (cx0 - x)) * 4;
+          std::memcpy(dst_row, src_row, (size_t)(cx1 - cx0) * 4);
+        }
+      }
+    }
+  } else {
+    // Strip-organized TIFF.
+    uint32_t rows_per_strip = 0;
+    TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
+    if (rows_per_strip == 0) rows_per_strip = (uint32_t)lvl.height;
+    std::vector<uint32_t> strip((size_t)lvl.width * rows_per_strip);
+    for (int64_t sy = (y0 / rows_per_strip) * rows_per_strip; sy < y1;
+         sy += rows_per_strip) {
+      if (!TIFFReadRGBAStrip(tif, (uint32_t)sy, strip.data())) return 5;
+      const int64_t rows =
+          std::min<int64_t>(rows_per_strip, lvl.height - sy);
+      const int64_t cy0 = std::max<int64_t>(sy, y0);
+      const int64_t cy1 = std::min<int64_t>(sy + rows, y1);
+      for (int64_t iy = cy0; iy < cy1; ++iy) {
+        const int64_t raster_row = rows - 1 - (iy - sy);
+        const uint32_t* src_row =
+            strip.data() + raster_row * lvl.width + x0;
+        uint8_t* dst_row = dst + ((iy - y) * w + (x0 - x)) * 4;
+        std::memcpy(dst_row, src_row, (size_t)(x1 - x0) * 4);
+      }
+    }
+  }
+  return 0;
+}
+
+// Read an entire pyramid level into out (RGBA, levelheight×levelwidth×4).
+int32_t wsi_read_level(void* handle, int32_t level, void* out) {
+  Slide* s = (Slide*)handle;
+  if (!s || !out || level < 0 || level >= (int32_t)s->levels.size()) return 1;
+  const Level& lvl = s->levels[level];
+  TIFF* tif = s->tif;
+  if (!TIFFSetDirectory(tif, lvl.dir_index)) return 2;
+
+  // TIFFReadRGBAImageOriented fills top-left origin directly.
+  if (!TIFFReadRGBAImageOriented(tif, (uint32_t)lvl.width,
+                                 (uint32_t)lvl.height, (uint32_t*)out,
+                                 ORIENTATION_TOPLEFT, 0)) {
+    return 3;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,377 @@
+"""Generic image Vision Transformer for the tile-extractor zoo.
+
+One parameterized implementation covers most of the reference's foundation
+models (they are all timm-style ViTs — reference extractor/uni.py, uni2.py,
+virchow*.py, h_optimus_*.py, gigapath.py, mstar.py, dinobloom.py,
+reddino.py): class token, optional register tokens, learned position
+embeddings, pre-LN blocks with optional LayerScale, MLP or (packed) SwiGLU
+feed-forward, and a configurable output head (CLS token, mean of patch
+tokens, or their concatenation — the latter needed by virchow-full,
+reference extractor/virchow_full.py).
+
+``convert_torch_state_dict`` maps timm checkpoint tensors onto the flax
+parameter tree so published weights can be ported 1:1; computation runs in
+bfloat16 on the MXU with float32 accumulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Literal
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    ffn: Literal["mlp", "swiglu"] = "mlp"
+    num_reg_tokens: int = 0
+    class_token: bool = True
+    pos_embed_cls: bool = True  # does pos_embed include the cls token slot?
+    init_values: float | None = None  # LayerScale
+    qkv_bias: bool = True
+    norm_eps: float = 1e-6
+    pool: Literal["token", "avg", "token_avg_concat"] = "token"
+    act: Literal["gelu", "silu"] = "gelu"
+    # normalization applied on device before the backbone
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.num_reg_tokens
+
+
+class _Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class _Mlp(nn.Module):
+    dim: int
+    hidden: int
+    act: str
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.silu(x)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class _SwiGLU(nn.Module):
+    """timm SwiGLUPacked: fc1 produces 2×hidden, gate = silu(x1)·x2."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x12 = nn.Dense(2 * self.hidden, name="fc1")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        x = nn.silu(x1) * x2
+        # timm SwiGLU applies a norm before the output projection
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class _Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1")(x)
+        h = _Attention(cfg.embed_dim, cfg.num_heads, cfg.qkv_bias, name="attn")(h)
+        if cfg.init_values is not None:
+            gamma1 = self.param(
+                "ls1_gamma",
+                nn.initializers.constant(cfg.init_values),
+                (cfg.embed_dim,),
+            )
+            h = h * gamma1
+        x = x + h
+
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
+        hidden = int(cfg.embed_dim * cfg.mlp_ratio)
+        if cfg.ffn == "swiglu":
+            h = _SwiGLU(cfg.embed_dim, hidden, name="mlp")(h)
+        else:
+            h = _Mlp(cfg.embed_dim, hidden, cfg.act, name="mlp")(h)
+        if cfg.init_values is not None:
+            gamma2 = self.param(
+                "ls2_gamma",
+                nn.initializers.constant(cfg.init_values),
+                (cfg.embed_dim,),
+            )
+            h = h * gamma2
+        return x + h
+
+
+class ImageViT(nn.Module):
+    """timm-compatible ViT backbone producing tile features."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [B, H, W, 3] float, already normalized. Returns [B, D_out]."""
+        cfg = self.cfg
+        b = images.shape[0]
+
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(images)
+        x = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]
+        n_patches = x.shape[1]
+
+        pos_len = n_patches + (1 if (cfg.class_token and cfg.pos_embed_cls) else 0)
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, pos_len, cfg.embed_dim),
+        )
+
+        tokens = []
+        if cfg.class_token:
+            cls = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim)
+            )
+            if cfg.pos_embed_cls:
+                # pos_embed covers [cls; patches]
+                cls_tok = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)) + pos_embed[:, :1]
+                x = x + pos_embed[:, 1:]
+            else:
+                cls_tok = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim))
+                x = x + pos_embed
+            tokens.append(cls_tok)
+        else:
+            x = x + pos_embed
+
+        if cfg.num_reg_tokens:
+            reg = self.param(
+                "reg_token",
+                nn.initializers.zeros,
+                (1, cfg.num_reg_tokens, cfg.embed_dim),
+            )
+            tokens.append(jnp.broadcast_to(reg, (b, cfg.num_reg_tokens, cfg.embed_dim)))
+
+        tokens.append(x)
+        x = jnp.concatenate(tokens, axis=1)
+
+        for i in range(cfg.depth):
+            x = _Block(cfg, name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm")(x)
+
+        n_prefix = cfg.num_prefix_tokens
+        if cfg.pool == "token":
+            return x[:, 0]
+        elif cfg.pool == "avg":
+            return x[:, n_prefix:].mean(axis=1)
+        elif cfg.pool == "token_avg_concat":
+            # virchow-full: CLS ⧺ mean(patch tokens) (virchow_full.py docs)
+            return jnp.concatenate([x[:, 0], x[:, n_prefix:].mean(axis=1)], axis=-1)
+        raise ValueError(cfg.pool)
+
+
+# ---------------------------------------------------------------------------
+# torch (timm) → flax weight conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_state_dict(
+    state_dict: dict[str, np.ndarray], cfg: ViTConfig
+) -> dict:
+    """Map a timm ViT state dict onto the ImageViT parameter tree.
+
+    Handles the naming idioms of the models in the zoo: ``blocks.N.*``,
+    packed qkv, LayerScale ``ls1/ls2.gamma`` (or ``gamma_1/gamma_2``),
+    ``reg_token`` / ``register_tokens``.
+    """
+
+    def t(name: str) -> np.ndarray:
+        return np.asarray(state_dict[name])
+
+    params: dict[str, Any] = {}
+
+    w = t("patch_embed.proj.weight")  # [D, 3, ph, pw]
+    params["patch_embed"] = {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": t("patch_embed.proj.bias"),
+    }
+    params["pos_embed"] = t("pos_embed")
+    if cfg.class_token:
+        params["cls_token"] = t("cls_token")
+    if cfg.num_reg_tokens:
+        for key in ("reg_token", "register_tokens"):
+            if key in state_dict:
+                params["reg_token"] = t(key)
+                break
+
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        block: dict[str, Any] = {
+            "norm1": {"scale": t(p + "norm1.weight"), "bias": t(p + "norm1.bias")},
+            "norm2": {"scale": t(p + "norm2.weight"), "bias": t(p + "norm2.bias")},
+            "attn": {
+                "qkv": {"kernel": t(p + "attn.qkv.weight").T},
+                "proj": {
+                    "kernel": t(p + "attn.proj.weight").T,
+                    "bias": t(p + "attn.proj.bias"),
+                },
+            },
+        }
+        if cfg.qkv_bias:
+            block["attn"]["qkv"]["bias"] = t(p + "attn.qkv.bias")
+        if cfg.ffn == "swiglu":
+            mlp = {
+                "fc1": {
+                    "kernel": t(p + "mlp.fc1.weight").T,
+                    "bias": t(p + "mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": t(p + "mlp.fc2.weight").T,
+                    "bias": t(p + "mlp.fc2.bias"),
+                },
+            }
+            if p + "mlp.norm.weight" in state_dict:
+                mlp["norm"] = {
+                    "scale": t(p + "mlp.norm.weight"),
+                    "bias": t(p + "mlp.norm.bias"),
+                }
+            block["mlp"] = mlp
+        else:
+            block["mlp"] = {
+                "fc1": {
+                    "kernel": t(p + "mlp.fc1.weight").T,
+                    "bias": t(p + "mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": t(p + "mlp.fc2.weight").T,
+                    "bias": t(p + "mlp.fc2.bias"),
+                },
+            }
+        if cfg.init_values is not None:
+            if p + "ls1.gamma" in state_dict:
+                block["ls1_gamma"] = t(p + "ls1.gamma")
+                block["ls2_gamma"] = t(p + "ls2.gamma")
+            elif p + "gamma_1" in state_dict:
+                block["ls1_gamma"] = t(p + "gamma_1")
+                block["ls2_gamma"] = t(p + "gamma_2")
+        params[f"block_{i}"] = block
+
+    params["norm"] = {"scale": t("norm.weight"), "bias": t("norm.bias")}
+    return {"params": params}
+
+
+# Architecture configs for the extractor zoo (dims per the respective model
+# cards; see SURVEY.md §2.1 rows 12-16 for the reference factories).
+VIT_CONFIGS: dict[str, ViTConfig] = {
+    # MahmoodLab UNI — ViT-L/16, dynamic size, layerscale 1e-5 (uni.py:24-36)
+    "uni": ViTConfig(
+        patch_size=16, embed_dim=1024, depth=24, num_heads=16, init_values=1e-5
+    ),
+    # MahmoodLab UNI2-h — ViT-H/14-reg8, embed 1536, depth 24, SwiGLU (uni2.py:20-40)
+    "uni2": ViTConfig(
+        patch_size=14,
+        embed_dim=1536,
+        depth=24,
+        num_heads=24,
+        mlp_ratio=2.66667 * 2,
+        ffn="swiglu",
+        num_reg_tokens=8,
+        init_values=1e-5,
+        act="silu",
+    ),
+    # Paige Virchow / Virchow2 — ViT-H/14 with SwiGLU, 4 reg tokens on v2
+    "virchow": ViTConfig(
+        patch_size=14,
+        embed_dim=1280,
+        depth=32,
+        num_heads=16,
+        mlp_ratio=5.3375,
+        ffn="swiglu",
+        init_values=1e-5,
+        mean=(0.5, 0.5, 0.5),
+        std=(0.5, 0.5, 0.5),
+    ),
+    "virchow2": ViTConfig(
+        patch_size=14,
+        embed_dim=1280,
+        depth=32,
+        num_heads=16,
+        mlp_ratio=5.3375,
+        ffn="swiglu",
+        num_reg_tokens=4,
+        init_values=1e-5,
+        mean=(0.5, 0.5, 0.5),
+        std=(0.5, 0.5, 0.5),
+    ),
+    # Bioptimus H-Optimus-0/1 — ViT-g/14-reg4, custom norm constants
+    # (h_optimus_0.py:20-38)
+    "h_optimus": ViTConfig(
+        patch_size=14,
+        embed_dim=1536,
+        depth=40,
+        num_heads=24,
+        num_reg_tokens=4,
+        init_values=1e-5,
+        mlp_ratio=5.33334,
+        ffn="swiglu",
+        mean=(0.707223, 0.578729, 0.703617),
+        std=(0.211883, 0.230117, 0.177517),
+    ),
+    # Prov-GigaPath tile encoder — ViT-g/14 (gigapath.py:20-35)
+    "gigapath": ViTConfig(
+        patch_size=16,
+        embed_dim=1536,
+        depth=40,
+        num_heads=24,
+        mlp_ratio=5.33334,
+        ffn="swiglu",
+        init_values=1e-5,
+    ),
+    # DinoBloom — dinov2-small, hematology (dinobloom.py)
+    "dino_vits14": ViTConfig(
+        patch_size=14, embed_dim=384, depth=12, num_heads=6, init_values=1e-5
+    ),
+}

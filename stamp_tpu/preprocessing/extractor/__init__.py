@@ -1,0 +1,167 @@
+"""Tile-extractor abstraction.
+
+The reference wraps each foundation model in a frozen ``Extractor`` dataclass
+(model + PIL transform + identifier; reference extractor/__init__.py:18-28).
+The TPU-native counterpart splits the work across the host/device boundary:
+
+* ``transform_host``: PIL tile → uint8 HWC array (resize/crop only — cheap)
+* ``forward``: jitted device function, uint8 batch [B,H,W,3] → float32
+  features [B,D].  Normalization (x/255 − mean)/std and the backbone run
+  on-device in bfloat16, so the host↔HBM transfer is 1 byte/pixel.
+
+Weight loading: published weights are ported from torch checkpoints found in
+the shared ``~/.cache/stamp`` / HuggingFace cache (zero-egress environments
+can pre-seed them).  ``STAMP_RANDOM_WEIGHTS=1`` substitutes random
+initialization — for throughput benchmarking only.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from stamp_tpu.models.vit_image import (
+    VIT_CONFIGS,
+    ImageViT,
+    ViTConfig,
+    convert_torch_state_dict,
+)
+
+_logger = logging.getLogger("stamp")
+
+
+@dataclass(frozen=True)
+class Extractor:
+    """A tile feature extractor."""
+
+    identifier: str
+    input_px: int
+    feat_dim: int
+    transform_host: Callable[[Image.Image], np.ndarray]
+    forward: Callable[[np.ndarray], np.ndarray]  # uint8 [B,H,W,3] → f32 [B,D]
+
+
+def _resize_transform(size: int) -> Callable[[Image.Image], np.ndarray]:
+    def transform(img: Image.Image) -> np.ndarray:
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.Resampling.BILINEAR)
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+    return transform
+
+
+def _find_torch_weights(candidates: list[str]) -> str | None:
+    """Look for a pre-seeded torch checkpoint in the local caches."""
+    from pathlib import Path
+
+    roots = [
+        Path(os.environ.get("STAMP_WEIGHTS_DIR", "")),
+        Path(os.environ.get("XDG_CACHE_HOME") or (Path.home() / ".cache")) / "stamp",
+        Path(os.environ.get("HF_HOME") or (Path.home() / ".cache" / "huggingface")),
+    ]
+    for root in roots:
+        if not root or not root.exists():
+            continue
+        for cand in candidates:
+            for hit in root.rglob(cand):
+                return str(hit)
+    return None
+
+
+def _load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(path)
+    else:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+            sd = sd["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def make_vit_extractor(
+    *,
+    identifier: str,
+    arch: str,
+    weight_files: list[str] | None = None,
+    input_px: int = 224,
+    pool: str | None = None,
+    batch_pad: bool = True,
+) -> Extractor:
+    """Build a jitted ViT extractor from the shared architecture zoo."""
+    cfg: ViTConfig = VIT_CONFIGS[arch]
+    if input_px != cfg.img_size:
+        cfg = ViTConfig(**{**cfg.__dict__, "img_size": input_px})
+    if pool is not None:
+        cfg = ViTConfig(**{**cfg.__dict__, "pool": pool})
+
+    module = ImageViT(cfg)
+
+    if os.environ.get("STAMP_RANDOM_WEIGHTS") == "1":
+        _logger.warning(
+            f"{identifier}: using RANDOM weights (STAMP_RANDOM_WEIGHTS=1) — "
+            "features are only useful for benchmarking"
+        )
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, input_px, input_px, 3))
+        )
+    else:
+        path = _find_torch_weights(weight_files or [])
+        if path is None:
+            raise FileNotFoundError(
+                f"no weights found for extractor '{identifier}' "
+                f"(searched caches for {weight_files}). Pre-seed the weight "
+                "file into ~/.cache/stamp or set STAMP_WEIGHTS_DIR; "
+                "set STAMP_RANDOM_WEIGHTS=1 for benchmarking without weights."
+            )
+        _logger.info(f"{identifier}: porting torch weights from {path}")
+        sd = _load_torch_state_dict(path)
+        variables = convert_torch_state_dict(sd, cfg)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
+
+    @jax.jit
+    def _forward(images_u8: jax.Array) -> jax.Array:
+        x = (images_u8.astype(jnp.float32) - mean) / std
+        x = x.astype(jnp.bfloat16)
+        feats = module.apply(variables, x)
+        return feats.astype(jnp.float32)
+
+    feat_dim = {
+        "token": cfg.embed_dim,
+        "avg": cfg.embed_dim,
+        "token_avg_concat": 2 * cfg.embed_dim,
+    }[cfg.pool]
+
+    def forward(batch: np.ndarray) -> np.ndarray:
+        n = batch.shape[0]
+        if batch_pad and n < 64:
+            # pad to the steady-state batch so the jit cache stays warm
+            batch = np.concatenate(
+                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+            )
+        out = np.asarray(_forward(jnp.asarray(batch)))
+        return out[:n]
+
+    return Extractor(
+        identifier=identifier,
+        input_px=input_px,
+        feat_dim=feat_dim,
+        transform_host=_resize_transform(input_px),
+        forward=forward,
+    )

@@ -1,0 +1,198 @@
+"""Extractor factories for the foundation-model zoo.
+
+One factory per ``ExtractorName`` (reference preprocessing/__init__.py:137-241
+dispatch).  Most models are instances of the shared ``ImageViT`` with
+per-model configs and weight-file hints; CTransPath/CHIEF use the Swin
+backbone (stamp_tpu/models/swin.py).  Models whose architectures have no JAX
+port yet (CoCa/BEiT3 CLIP-style heads, TICON enc-dec) raise a clear
+NotImplementedError naming the gap.
+"""
+
+from __future__ import annotations
+
+from stamp_tpu.preprocessing.config import ExtractorName
+from stamp_tpu.preprocessing.extractor import Extractor, make_vit_extractor
+
+
+def uni() -> Extractor:
+    """MahmoodLab UNI (reference extractor/uni.py:24-37)."""
+    return make_vit_extractor(
+        identifier="mahmood-uni",
+        arch="uni",
+        weight_files=["*uni*pytorch_model.bin", "uni.bin", "*UNI*.bin"],
+    )
+
+
+def uni2() -> Extractor:
+    """MahmoodLab UNI2-h (reference extractor/uni2.py:20-46)."""
+    return make_vit_extractor(
+        identifier="mahmood-uni2",
+        arch="uni2",
+        weight_files=["*uni2*pytorch_model.bin", "*UNI2*.bin", "*uni2*.safetensors"],
+    )
+
+
+def virchow() -> Extractor:
+    """Paige Virchow, CLS token only (reference extractor/virchow.py)."""
+    return make_vit_extractor(
+        identifier="paige-virchow",
+        arch="virchow",
+        weight_files=["*virchow*.safetensors", "*Virchow*.bin"],
+        pool="token",
+    )
+
+
+def virchow2() -> Extractor:
+    """Paige Virchow2, CLS token only (reference extractor/virchow2.py:29-30)."""
+    return make_vit_extractor(
+        identifier="paige-virchow2",
+        arch="virchow2",
+        weight_files=["*virchow2*.safetensors", "*Virchow2*.bin"],
+        pool="token",
+    )
+
+
+def virchow_full() -> Extractor:
+    """Virchow CLS ⧺ mean(patch tokens), 2560-d — required by PRISM
+    (reference extractor/virchow_full.py)."""
+    return make_vit_extractor(
+        identifier="paige-virchow-full",
+        arch="virchow",
+        weight_files=["*virchow*.safetensors", "*Virchow*.bin"],
+        pool="token_avg_concat",
+    )
+
+
+def h_optimus_0() -> Extractor:
+    """Bioptimus H-Optimus-0 (reference extractor/h_optimus_0.py)."""
+    return make_vit_extractor(
+        identifier="bioptimus-h-optimus-0",
+        arch="h_optimus",
+        weight_files=["*h-optimus-0*.safetensors", "*h_optimus_0*.bin"],
+    )
+
+
+def h_optimus_1() -> Extractor:
+    """Bioptimus H-Optimus-1 (reference extractor/h_optimus_1.py)."""
+    return make_vit_extractor(
+        identifier="bioptimus-h-optimus-1",
+        arch="h_optimus",
+        weight_files=["*h-optimus-1*.safetensors", "*h_optimus_1*.bin"],
+    )
+
+
+def gigapath() -> Extractor:
+    """Prov-GigaPath tile encoder (reference extractor/gigapath.py)."""
+    return make_vit_extractor(
+        identifier="gigapath",
+        arch="gigapath",
+        weight_files=["*gigapath*.bin", "*prov-gigapath*.safetensors"],
+    )
+
+
+def dino_bloom() -> Extractor:
+    """DinoBloom-S (dinov2-small, hematology; reference extractor/dinobloom.py)."""
+    return make_vit_extractor(
+        identifier="dinobloom-s",
+        arch="dino_vits14",
+        weight_files=["*dinobloom*.pth", "*DinoBloom*.pth"],
+    )
+
+
+def red_dino() -> Extractor:
+    """RedDino (reference extractor/reddino.py)."""
+    return make_vit_extractor(
+        identifier="red-dino",
+        arch="dino_vits14",
+        weight_files=["*reddino*.pth", "*RedDino*.safetensors"],
+    )
+
+
+def mstar() -> Extractor:
+    """mSTAR ViT-L (reference extractor/mstar.py)."""
+    return make_vit_extractor(
+        identifier="mstar",
+        arch="uni",  # ViT-L/16 like UNI
+        weight_files=["*mSTAR*.bin", "*mstar*.safetensors"],
+    )
+
+
+def ctranspath() -> Extractor:
+    """CTransPath Swin-T with conv stem (reference extractor/ctranspath.py)."""
+    from stamp_tpu.preprocessing.extractor.swin import make_ctranspath_extractor
+
+    return make_ctranspath_extractor(identifier="xiyuewang-ctranspath-7c998680")
+
+
+def chief_ctranspath() -> Extractor:
+    """CHIEF-finetuned CTransPath (reference extractor/chief_ctranspath.py)."""
+    from stamp_tpu.preprocessing.extractor.swin import make_ctranspath_extractor
+
+    return make_ctranspath_extractor(
+        identifier="chief-ctranspath", weight_hint="chief"
+    )
+
+
+def _not_ported(name: str) -> Extractor:
+    raise NotImplementedError(
+        f"extractor '{name}' is not yet ported to the TPU-native zoo "
+        "(CLIP/CoCa/BEiT3-style architectures land in a later milestone); "
+        "extract with the reference implementation or use one of the ported "
+        "ViT extractors."
+    )
+
+
+def conch() -> Extractor:
+    return _not_ported("conch")
+
+
+def conch1_5() -> Extractor:
+    return _not_ported("conch1_5")
+
+
+def musk() -> Extractor:
+    return _not_ported("musk")
+
+
+def plip() -> Extractor:
+    return _not_ported("plip")
+
+
+def keep() -> Extractor:
+    return _not_ported("keep")
+
+
+def ticon() -> Extractor:
+    return _not_ported("ticon")
+
+
+def resolve_extractor(name: "ExtractorName | Extractor") -> Extractor:
+    """ExtractorName → Extractor (reference preprocessing/__init__.py:137-241)."""
+    if isinstance(name, Extractor):
+        return name
+
+    from stamp_tpu.preprocessing.extractor.empty import empty
+
+    factories = {
+        ExtractorName.CTRANSPATH: ctranspath,
+        ExtractorName.CHIEF_CTRANSPATH: chief_ctranspath,
+        ExtractorName.CONCH: conch,
+        ExtractorName.CONCH1_5: conch1_5,
+        ExtractorName.UNI: uni,
+        ExtractorName.UNI2: uni2,
+        ExtractorName.DINO_BLOOM: dino_bloom,
+        ExtractorName.RED_DINO: red_dino,
+        ExtractorName.VIRCHOW: virchow,
+        ExtractorName.VIRCHOW_FULL: virchow_full,
+        ExtractorName.VIRCHOW2: virchow2,
+        ExtractorName.H_OPTIMUS_0: h_optimus_0,
+        ExtractorName.H_OPTIMUS_1: h_optimus_1,
+        ExtractorName.GIGAPATH: gigapath,
+        ExtractorName.MUSK: musk,
+        ExtractorName.MSTAR: mstar,
+        ExtractorName.PLIP: plip,
+        ExtractorName.KEEP: keep,
+        ExtractorName.TICON: ticon,
+        ExtractorName.EMPTY: empty,
+    }
+    return factories[ExtractorName(name)]()
