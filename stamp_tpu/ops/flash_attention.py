@@ -1,0 +1,300 @@
+"""Fused flash attention (+ spatial-ALiBi variant) as Pallas TPU kernels.
+
+Why: full-slide MIL inference attends over every tile of a slide — up to
+~10⁵ tokens.  The einsum path materializes a [T, T] weight matrix (40 GB at
+T=10⁵), which is why the reference disables masks "to reduce memory"
+(reference models/__init__.py:302-313) and still cannot scale.  These kernels
+stream K/V blocks through VMEM with an online softmax, so memory is O(T·D)
+and the matmuls stay on the MXU.
+
+The ALiBi variant exploits linearity of the reference's *post-softmax* bias
+(vision_tranformer.py:65-70):
+
+    out = (softmax(QKᵀ/√d) − s·D) V = softmax(QKᵀ/√d)V − s·(D V)
+
+so one fused pass accumulates both the online-softmax numerator and the
+distance-weighted value sum ``D V`` blockwise — the [T, T] distance matrix is
+never materialized either.
+
+These kernels are inference-path (no VJP); training uses bag-subsampled
+sequences where the einsum path is already optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _flash_kernel(
+    q_ref,  # [1, Bq, D]
+    k_ref,  # [1, Bk, D]
+    v_ref,  # [1, Bk, D]
+    mask_ref,  # [1, Bk] float (1 = valid)
+    o_ref,  # [1, Bq, D]
+    m_scratch,  # [Bq, 128]
+    l_scratch,  # [Bq, 128]
+    acc_scratch,  # [Bq, D]
+    *,
+    scale: float,
+    n_k_blocks: int,
+):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0]  # [Bk]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Bq, Bk]
+    s = jnp.where(mask[None, :] > 0, s, _NEG_INF)
+
+    m_prev = m_scratch[:, :1]  # [Bq, 1]
+    l_prev = l_scratch[:, :1]
+
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [Bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)  # [Bq, Bk]
+    alpha = jnp.exp(m_prev - m_new)  # [Bq, 1]
+
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(k_idx == n_k_blocks - 1)
+    def _final():
+        l = l_scratch[:, :1]
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_mha(
+    q: jax.Array,  # [BH, Q, D]
+    k: jax.Array,  # [BH, K, D]
+    v: jax.Array,  # [BH, K, D]
+    key_mask: jax.Array,  # [BH, K] bool
+    *,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Masked flash attention over flattened (batch×head) sequences."""
+    bh, q_len, d = q.shape
+    k_len = k.shape[1]
+    scale = d**-0.5
+
+    q_pad = (-q_len) % block_q
+    k_pad = (-k_len) % block_k
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, k_pad)))
+    mask_f = key_mask.astype(jnp.float32)
+
+    n_q = q.shape[1] // block_q
+    n_k = k.shape[1] // block_k
+
+    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, mask_f)
+
+    return out[:, :q_len]
+
+
+def _flash_alibi_kernel(
+    q_ref,  # [1, Bq, D]
+    k_ref,  # [1, Bk, D]
+    v_ref,  # [1, Bk, D]
+    cq_ref,  # [1, Bq, 128]  (xy in cols 0..1, zero-padded)
+    ck_ref,  # [1, Bk, 128]
+    mask_ref,  # [1, Bk]
+    o_ref,  # [1, Bq, D]
+    dacc_out_ref,  # [1, Bq, D]  distance-weighted value accumulator output
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    dacc_scratch,
+    *,
+    scale: float,
+    n_k_blocks: int,
+):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+        dacc_scratch[:] = jnp.zeros_like(dacc_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, _NEG_INF)
+
+    m_prev = m_scratch[:, :1]
+    l_prev = l_scratch[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # pairwise Euclidean distances via |a-b|² = |a|² + |b|² − 2a·b over the
+    # zero-padded coordinate lanes (only cols 0..1 are non-zero)
+    cq = cq_ref[0]
+    ck = ck_ref[0]
+    qq = jnp.sum(cq * cq, axis=1, keepdims=True)  # [Bq, 1]
+    kk = jnp.sum(ck * ck, axis=1, keepdims=True)  # [Bk, 1]
+    cross = jax.lax.dot_general(
+        cq, ck, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Bq, Bk]
+    dist2 = jnp.maximum(qq + kk[:, 0][None, :] - 2.0 * cross, 0.0)
+    dist = jnp.sqrt(dist2)
+    dist = jnp.where(mask[None, :] > 0, dist, 0.0)
+
+    dacc_scratch[:] = dacc_scratch[:] + jax.lax.dot_general(
+        dist.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(k_idx == n_k_blocks - 1)
+    def _final():
+        l = l_scratch[:, :1]
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        dacc_out_ref[0] = dacc_scratch[:].astype(dacc_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_alibi_mha(
+    q: jax.Array,  # [BH, Q, D]
+    k: jax.Array,  # [BH, K, D]
+    v: jax.Array,  # [BH, K, D]
+    coords_q: jax.Array,  # [BH, Q, 2]
+    coords_k: jax.Array,  # [BH, K, 2]
+    dist_scale: jax.Array,  # [BH] — bias_scale / running_mean per (batch, head)
+    key_mask: jax.Array,  # [BH, K] bool
+    *,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Fused spatial-ALiBi attention (post-softmax distance bias)."""
+    bh, q_len, d = q.shape
+    k_len = k.shape[1]
+    scale = d**-0.5
+
+    q_pad = (-q_len) % block_q
+    k_pad = (-k_len) % block_k
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0)))
+        coords_q = jnp.pad(coords_q, ((0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
+        coords_k = jnp.pad(coords_k, ((0, 0), (0, k_pad), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, k_pad)))
+    mask_f = key_mask.astype(jnp.float32)
+
+    # pad coords' xy into 128 lanes so they tile cleanly
+    cq = jnp.pad(coords_q.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
+    ck = jnp.pad(coords_k.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
+
+    n_q = q.shape[1] // block_q
+    n_k = k.shape[1] // block_k
+
+    kernel = functools.partial(_flash_alibi_kernel, scale=scale, n_k_blocks=n_k)
+
+    out, dacc = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q.shape[1], d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, cq, ck, mask_f)
+
+    out = out[:, :q_len] - dist_scale[:, None, None] * dacc[:, :q_len]
+    return out
