@@ -17,7 +17,7 @@ from stamp_tpu.preprocessing.extractor import Extractor, make_vit_extractor
 def uni() -> Extractor:
     """MahmoodLab UNI (reference extractor/uni.py:24-37)."""
     return make_vit_extractor(
-        identifier="mahmood-uni",
+        identifier="uni",
         arch="uni",
         weight_files=["*uni*pytorch_model.bin", "uni.bin", "*UNI*.bin"],
     )
@@ -26,7 +26,7 @@ def uni() -> Extractor:
 def uni2() -> Extractor:
     """MahmoodLab UNI2-h (reference extractor/uni2.py:20-46)."""
     return make_vit_extractor(
-        identifier="mahmood-uni2",
+        identifier="uni2",
         arch="uni2",
         weight_files=["*uni2*pytorch_model.bin", "*UNI2*.bin", "*uni2*.safetensors"],
     )
@@ -35,7 +35,7 @@ def uni2() -> Extractor:
 def virchow() -> Extractor:
     """Paige Virchow, CLS token only (reference extractor/virchow.py)."""
     return make_vit_extractor(
-        identifier="paige-virchow",
+        identifier="virchow",
         arch="virchow",
         weight_files=["*virchow*.safetensors", "*Virchow*.bin"],
         pool="token",
@@ -45,7 +45,7 @@ def virchow() -> Extractor:
 def virchow2() -> Extractor:
     """Paige Virchow2, CLS token only (reference extractor/virchow2.py:29-30)."""
     return make_vit_extractor(
-        identifier="paige-virchow2",
+        identifier="virchow2",
         arch="virchow2",
         weight_files=["*virchow2*.safetensors", "*Virchow2*.bin"],
         pool="token",
@@ -56,7 +56,7 @@ def virchow_full() -> Extractor:
     """Virchow CLS ⧺ mean(patch tokens), 2560-d — required by PRISM
     (reference extractor/virchow_full.py)."""
     return make_vit_extractor(
-        identifier="paige-virchow-full",
+        identifier="virchow-full",
         arch="virchow",
         weight_files=["*virchow*.safetensors", "*Virchow*.bin"],
         pool="token_avg_concat",
@@ -66,7 +66,7 @@ def virchow_full() -> Extractor:
 def h_optimus_0() -> Extractor:
     """Bioptimus H-Optimus-0 (reference extractor/h_optimus_0.py)."""
     return make_vit_extractor(
-        identifier="bioptimus-h-optimus-0",
+        identifier="h-optimus-0",
         arch="h_optimus",
         weight_files=["*h-optimus-0*.safetensors", "*h_optimus_0*.bin"],
     )
@@ -75,7 +75,7 @@ def h_optimus_0() -> Extractor:
 def h_optimus_1() -> Extractor:
     """Bioptimus H-Optimus-1 (reference extractor/h_optimus_1.py)."""
     return make_vit_extractor(
-        identifier="bioptimus-h-optimus-1",
+        identifier="h-optimus-1",
         arch="h_optimus",
         weight_files=["*h-optimus-1*.safetensors", "*h_optimus_1*.bin"],
     )
@@ -93,7 +93,7 @@ def gigapath() -> Extractor:
 def dino_bloom() -> Extractor:
     """DinoBloom-S (dinov2-small, hematology; reference extractor/dinobloom.py)."""
     return make_vit_extractor(
-        identifier="dinobloom-s",
+        identifier="dino-bloom",
         arch="dino_vits14",
         weight_files=["*dinobloom*.pth", "*DinoBloom*.pth"],
     )
@@ -121,7 +121,7 @@ def ctranspath() -> Extractor:
     """CTransPath Swin-T with conv stem (reference extractor/ctranspath.py)."""
     from stamp_tpu.preprocessing.extractor.swin import make_ctranspath_extractor
 
-    return make_ctranspath_extractor(identifier="xiyuewang-ctranspath-7c998680")
+    return make_ctranspath_extractor(identifier="ctranspath")
 
 
 def chief_ctranspath() -> Extractor:

@@ -1,0 +1,186 @@
+"""Preprocessing tests: WSI reader, tiling, cache round-trip, extraction
+driver (coverage mirroring reference tests/test_cache_tiles.py and the
+extractor smoke tests, using synthetic TIFF slides instead of TCGA)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+from stamp_tpu.preprocessing.extract import extract_
+from stamp_tpu.preprocessing.tiling import (
+    _has_enough_texture,
+    tiles_with_cache,
+)
+from stamp_tpu.preprocessing.wsi import (
+    CTiffSlide,
+    ImageSlide,
+    MPPExtractionError,
+    _load_native,
+    get_slide_mpp_,
+    open_slide,
+)
+from stamp_tpu.types import Microns, SlideMPP, SlidePixels, TilePixels
+
+
+@pytest.fixture
+def synthetic_slide(tmp_path):
+    """1536×1024 TIFF at 1 µm/px: left 2/3 textured 'tissue', right white."""
+    rng = np.random.default_rng(0)
+    arr = np.full((1024, 1536, 3), 255, np.uint8)
+    arr[:, :1024] = rng.integers(60, 200, (1024, 1024, 3), dtype=np.uint8)
+    path = tmp_path / "slide.tif"
+    Image.fromarray(arr).save(
+        path,
+        format="TIFF",
+        compression="tiff_lzw",
+        resolution=10000.0,
+        resolution_unit=3,  # px per cm → 1 µm/px
+    )
+    return path, arr
+
+
+def test_native_reader_exact(synthetic_slide):
+    path, arr = synthetic_slide
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    slide = open_slide(path)
+    assert isinstance(slide, CTiffSlide)
+    assert slide.dimensions == (1536, 1024)
+
+    region = np.array(slide.read_region((100, 200), 0, (64, 32)))[:, :, :3]
+    np.testing.assert_array_equal(region, arr[200:232, 100:164])
+
+    # out-of-bounds → white fill
+    oob = np.array(slide.read_region((1520, 1010), 0, (64, 64)))
+    assert (oob[20:, 20:, :3] == 255).all()
+
+    assert np.isclose(get_slide_mpp_(slide, default_mpp=None), 1.0)
+
+
+def test_image_slide_fallback(tmp_path):
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    path = tmp_path / "img.png"
+    img.save(path)
+    slide = open_slide(path)
+    assert isinstance(slide, ImageSlide)
+    assert slide.dimensions == (96, 64)
+    with pytest.raises(MPPExtractionError):
+        get_slide_mpp_(slide, default_mpp=None)
+    assert get_slide_mpp_(slide, default_mpp=SlideMPP(0.5)) == 0.5
+
+
+def test_texture_filter():
+    rng = np.random.default_rng(0)
+    flat = Image.fromarray(np.full((224, 224, 3), 128, np.uint8))
+    noisy = Image.fromarray(rng.integers(0, 255, (224, 224, 3), dtype=np.uint8))
+    assert not _has_enough_texture(flat, cutoff=0.02)
+    assert _has_enough_texture(noisy, cutoff=0.02)
+
+
+def test_tiles_and_cache_roundtrip(synthetic_slide, tmp_path):
+    path, _arr = synthetic_slide
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+
+    kwargs = dict(
+        cache_dir=cache_dir,
+        cache_tiles_ext="png",  # lossless → exact round trip
+        tile_size_um=Microns(256.0),
+        tile_size_px=TilePixels(224),
+        max_supertile_size_slide_px=SlidePixels(1024),
+        max_workers=2,
+        brightness_cutoff=240,
+        canny_cutoff=0.02,
+        default_slide_mpp=None,
+    )
+    tiles1 = {
+        (t.coordinates.x, t.coordinates.y): np.array(t.image)
+        for t in tiles_with_cache(path, **kwargs)
+    }
+    assert len(tiles1) > 0
+    assert len(list(cache_dir.glob("*.zip"))) == 1
+
+    tiles2 = {
+        (t.coordinates.x, t.coordinates.y): np.array(t.image.convert("RGB"))
+        for t in tiles_with_cache(path, **kwargs)
+    }
+    assert tiles1.keys() == tiles2.keys()
+    for key in tiles1:
+        np.testing.assert_array_equal(tiles1[key], tiles2[key])
+
+
+@pytest.mark.slow
+def test_extract_empty_end_to_end(synthetic_slide, tmp_path):
+    path, _ = synthetic_slide
+    out = tmp_path / "out"
+    extract_(
+        wsi_dir=path.parent,
+        output_dir=out,
+        wsi_list=None,
+        cache_dir=None,
+        cache_tiles_ext="jpg",
+        extractor="empty",
+        tile_size_px=TilePixels(224),
+        tile_size_um=Microns(256.0),
+        max_workers=2,
+        default_slide_mpp=None,
+        brightness_cutoff=240,
+        canny_cutoff=0.02,
+        generate_hash=True,
+    )
+    h5s = list(out.rglob("*.h5"))
+    assert len(h5s) == 1
+    with h5py.File(h5s[0]) as h5:
+        assert h5.attrs["extractor"] == "empty"
+        assert h5.attrs["feat_type"] == "tile"
+        assert h5.attrs["tile_size_um"] == 256.0
+        assert h5.attrs["tile_size_px"] == 224
+        coords = np.asarray(h5["coords"])
+        # tissue only on the left 1024 µm
+        assert coords[:, 0].max() < 1024
+    # rejection thumbnail written
+    assert len(list(out.rglob("*.jpg"))) == 1
+
+
+@pytest.mark.slow
+def test_extract_random_vit(synthetic_slide, tmp_path, monkeypatch):
+    """Tiny random-weight ViT extractor through the full driver."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    from stamp_tpu.models.vit_image import VIT_CONFIGS, ViTConfig
+    from stamp_tpu.preprocessing.extractor import make_vit_extractor
+
+    VIT_CONFIGS["test-tiny"] = ViTConfig(
+        patch_size=32, embed_dim=64, depth=1, num_heads=2
+    )
+    extractor = make_vit_extractor(
+        identifier="test-tiny", arch="test-tiny", weight_files=[]
+    )
+
+    path, _ = synthetic_slide
+    out = tmp_path / "out"
+    extract_(
+        wsi_dir=path.parent,
+        output_dir=out,
+        wsi_list=None,
+        cache_dir=None,
+        cache_tiles_ext="jpg",
+        extractor=extractor,
+        tile_size_px=TilePixels(224),
+        tile_size_um=Microns(256.0),
+        max_workers=2,
+        default_slide_mpp=None,
+        brightness_cutoff=240,
+        canny_cutoff=0.02,
+        generate_hash=True,
+    )
+    h5s = list(out.rglob("*.h5"))
+    assert len(h5s) == 1
+    with h5py.File(h5s[0]) as h5:
+        feats = np.asarray(h5["feats"])
+        assert feats.shape[1] == 64
+        assert feats.dtype == np.float16
+        assert np.isfinite(feats.astype(np.float32)).all()
