@@ -44,16 +44,25 @@ def main() -> None:
 
     cfg = VIT_CONFIGS["uni2"]
     module = ImageViT(cfg)
-    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
-    variables = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables)
+    # init on the host CPU backend (initializing 680M params through the
+    # device tunnel would itself be a multi-minute compile)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), variables
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
 
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
     @jax.jit
-    def forward(images_u8):
+    def forward_impl(variables, images_u8):
         x = (images_u8.astype(jnp.float32) - mean) / std
         return module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    def forward(images_u8):
+        return forward_impl(variables, images_u8)
 
     best = 0.0
     best_batch = 0

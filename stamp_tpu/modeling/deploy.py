@@ -81,15 +81,17 @@ def _predict(
     supports_mask = is_tile and bool(getattr(module, "supports_coords", False))
     is_multitarget = isinstance(getattr(model, "weights", None), dict)
 
+    variables = jax.device_put(variables)  # weights as jit args, not constants
+
     @jax.jit
-    def fwd_padded(bags, coords, key_mask):
+    def fwd_padded_impl(variables, bags, coords, key_mask):
         kwargs: dict = dict(train=False)
         if uses_coords:
             kwargs.update(coords=coords, key_mask=key_mask)
         return module.apply(variables, bags, **kwargs)
 
     @jax.jit
-    def fwd_exact(*inputs):
+    def fwd_exact_impl(variables, *inputs):
         if is_tile:
             bags, coords = inputs
             kwargs = dict(train=False)
@@ -98,6 +100,12 @@ def _predict(
             return module.apply(variables, bags, **kwargs)
         (feats,) = inputs
         return module.apply(variables, feats, train=False)
+
+    def fwd_padded(*args):
+        return fwd_padded_impl(variables, *args)
+
+    def fwd_exact(*args):
+        return fwd_exact_impl(variables, *args)
 
     outs: list = []
     for batch in test_dl:

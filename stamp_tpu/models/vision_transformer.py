@@ -30,6 +30,16 @@ from stamp_tpu.ops.attention import (
     pairwise_distances,
 )
 
+# Above this many tiles, inference switches to the fused Pallas flash kernels
+# (O(T·D) memory instead of a [T,T] weight matrix) when running on TPU.
+FLASH_ATTENTION_MIN_SEQ = 4096
+
+
+def _use_flash(train: bool, seq_len: int) -> bool:
+    if train or seq_len < FLASH_ATTENTION_MIN_SEQ:
+        return False
+    return jax.default_backend() == "tpu"
+
 
 class MultiHeadSelfAttention(nn.Module):
     """Vanilla MHA equivalent to torch ``nn.MultiheadAttention`` (batch_first)."""
@@ -70,6 +80,22 @@ class MultiHeadSelfAttention(nn.Module):
             weights = masked_softmax(logits, mask)
             self.sow("intermediates", "attn_weights", weights)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        elif _use_flash(not deterministic, x.shape[1]):
+            from stamp_tpu.ops.flash_attention import flash_mha
+
+            b_, h_, s_, d_ = q.shape
+            km = (
+                key_mask
+                if key_mask is not None
+                else jnp.ones((b_, s_), dtype=bool)
+            )
+            km = jnp.broadcast_to(km[:, None, :], (b_, h_, s_)).reshape(b_ * h_, s_)
+            out = flash_mha(
+                q.reshape(b_ * h_, s_, d_),
+                k.reshape(b_ * h_, s_, d_),
+                v.reshape(b_ * h_, s_, d_),
+                km,
+            ).reshape(b_, h_, s_, d_)
         else:
             out = multi_head_attention(
                 q,
@@ -131,9 +157,8 @@ class MultiHeadALiBi(nn.Module):
             "alibi_stats", "items_so_far", lambda: jnp.ones((self.num_heads,))
         )
 
-        distances = pairwise_distances(coords, coords)  # [B, T, T]
-
         if train:
+            distances = pairwise_distances(coords, coords)  # [B, T, T]
             # Welford update (reference vision_tranformer.py:23-31):
             # running_mean ← mean(running_mean + (x − running_mean)/items)
             rm = running_mean.value  # [H]
@@ -149,16 +174,49 @@ class MultiHeadALiBi(nn.Module):
         else:
             rm_used = running_mean.value
 
-        # scaled distance bias per head: dist / running_mean × bias_scale
-        scaled = (
-            distances[:, None, :, :]
-            / rm_used[None, :, None, None]
-            * bias_scale[None, :, None, None]
-        )
+        if alibi_mask is None and _use_flash(train, x.shape[1]):
+            # fused kernel: never materializes [T,T] weights or distances
+            from stamp_tpu.ops.flash_attention import flash_alibi_mha
 
-        out = alibi_attention(
-            q, k, v, scaled_distances=scaled, key_mask=key_mask, alibi_mask=alibi_mask
-        )
+            b_, h_, s_, d_ = q.shape
+            km = (
+                key_mask
+                if key_mask is not None
+                else jnp.ones((b_, s_), dtype=bool)
+            )
+            km = jnp.broadcast_to(km[:, None, :], (b_, h_, s_)).reshape(b_ * h_, s_)
+            dist_scale = jnp.broadcast_to(
+                (bias_scale / rm_used)[None, :], (b_, h_)
+            ).reshape(b_ * h_)
+            cq = jnp.broadcast_to(
+                coords[:, None, :, :], (b_, h_, s_, 2)
+            ).reshape(b_ * h_, s_, 2)
+            out = flash_alibi_mha(
+                q.reshape(b_ * h_, s_, d_),
+                k.reshape(b_ * h_, s_, d_),
+                v.reshape(b_ * h_, s_, d_),
+                cq,
+                cq,
+                dist_scale,
+                km,
+            ).reshape(b_, h_, s_, d_)
+        else:
+            if not train:
+                distances = pairwise_distances(coords, coords)  # [B, T, T]
+            # scaled distance bias per head: dist / running_mean × bias_scale
+            scaled = (
+                distances[:, None, :, :]
+                / rm_used[None, :, None, None]
+                * bias_scale[None, :, None, None]
+            )
+            out = alibi_attention(
+                q,
+                k,
+                v,
+                scaled_distances=scaled,
+                key_mask=key_mask,
+                alibi_mask=alibi_mask,
+            )
         if sow_weights:
             # ALiBi "weights" are not a distribution; expose softmax part only.
             depth = q.shape[-1]

@@ -115,9 +115,10 @@ def make_vit_extractor(
             f"{identifier}: using RANDOM weights (STAMP_RANDOM_WEIGHTS=1) — "
             "features are only useful for benchmarking"
         )
-        variables = module.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, input_px, input_px, 3))
-        )
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = module.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, input_px, input_px, 3))
+            )
     else:
         path = _find_torch_weights(weight_files or [])
         if path is None:
@@ -135,12 +136,20 @@ def make_vit_extractor(
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
+    # Keep weights on device and pass them as a jit ARGUMENT — closing over
+    # them would bake gigabytes of constants into the HLO and make every
+    # compile ship the weights.
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def _forward(images_u8: jax.Array) -> jax.Array:
+    def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
         x = (images_u8.astype(jnp.float32) - mean) / std
         x = x.astype(jnp.bfloat16)
         feats = module.apply(variables, x)
         return feats.astype(jnp.float32)
+
+    def _forward(images_u8: jax.Array) -> jax.Array:
+        return _forward_impl(variables, images_u8)
 
     feat_dim = {
         "token": cfg.embed_dim,

@@ -52,14 +52,19 @@ def make_ctranspath_extractor(
     mean = jnp.asarray(_IMAGENET_MEAN, dtype=jnp.float32) * 255.0
     std = jnp.asarray(_IMAGENET_STD, dtype=jnp.float32) * 255.0
 
+    variables = jax.device_put(variables)  # weights as jit args, not constants
+
     @jax.jit
-    def _forward(images_u8: jax.Array) -> jax.Array:
+    def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
         x = (images_u8.astype(jnp.float32) - mean) / std
         # full-f32 matmuls: the h5-parity contract is allclose(atol=1e-3)
         # against the reference (tests/test_feature_extractors.py:140-169);
         # TPU fp32 matmuls otherwise default to bf16 MXU passes
         with jax.default_matmul_precision("highest"):
             return module.apply(variables, x)
+
+    def _forward(images_u8: jax.Array) -> jax.Array:
+        return _forward_impl(variables, images_u8)
 
     def forward(batch: np.ndarray) -> np.ndarray:
         n = batch.shape[0]

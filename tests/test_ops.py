@@ -1,0 +1,85 @@
+"""Kernel/primitive tests: flash attention (interpret mode), SSD scan."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from stamp_tpu.ops.attention import masked_softmax, pairwise_distances
+from stamp_tpu.ops.ssd import Mamba2Block, ssd_chunked, ssd_reference
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    """Run Pallas kernels in interpreter mode (no TPU in CI)."""
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def test_flash_mha_matches_einsum(interpret_pallas):
+    from stamp_tpu.ops.flash_attention import flash_mha
+
+    rng = np.random.default_rng(0)
+    BH, T, D = 4, 300, 64
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    mask = jnp.asarray(np.tile((np.arange(T) < 237)[None], (BH, 1)))
+
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
+    w = masked_softmax(logits, mask[:, None, :])
+    ref = jnp.einsum("bqk,bkd->bqd", w, v)
+
+    out = flash_mha(q, k, v, mask, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_alibi_matches_einsum(interpret_pallas):
+    from stamp_tpu.ops.flash_attention import flash_alibi_mha
+
+    rng = np.random.default_rng(0)
+    BH, T, D = 2, 200, 64
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(size=(BH, T, 2)).astype(np.float32) * 1000)
+    dist_scale = jnp.asarray(rng.uniform(size=(BH,)).astype(np.float32) * 1e-4)
+    mask = jnp.asarray(np.tile((np.arange(T) < 163)[None], (BH, 1)))
+
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
+    w = masked_softmax(logits, mask[:, None, :])
+    sd = dist_scale[:, None, None] * pairwise_distances(coords, coords)
+    ref = jnp.einsum("bqk,bkd->bqd", (w - sd) * mask[:, None, :], v)
+
+    out = flash_alibi_mha(
+        q, k, v, coords, coords, dist_scale, mask, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_ssd_chunked_matches_reference():
+    rng = np.random.default_rng(0)
+    L, H, P, N = 200, 4, 16, 32
+    x = jnp.asarray(rng.normal(size=(L, H, P)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, size=(L, H)).astype(np.float32))
+    A = jnp.asarray(-rng.uniform(0.5, 2.0, size=(H,)).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(L, N)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(L, N)).astype(np.float32))
+
+    ref = ssd_reference(x, dt, A, B, C)
+    for chunk in (32, 64, 128):
+        out = ssd_chunked(x, dt, A, B, C, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_mamba2_block():
+    rng = np.random.default_rng(0)
+    m = Mamba2Block(d_model=64, d_state=32, headdim=16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((50, 64)))
+    y = m.apply(v, jnp.asarray(rng.normal(size=(50, 64)).astype(np.float32)))
+    assert y.shape == (50, 64)
+    assert bool(jnp.isfinite(y).all())
