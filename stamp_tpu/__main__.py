@@ -8,11 +8,19 @@ instant (no jax import cost).
 
 import argparse
 import logging
+import os
 import shutil
 import sys
 from pathlib import Path
 
 import yaml
+
+# Persistent XLA compilation cache: extraction backbones compile once per
+# (model, batch shape) ever, not once per run.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path.home() / ".cache" / "jax_compilation_cache"),
+)
 
 STAMP_FACTORY_SETTINGS = Path(__file__).with_name("config.yaml")
 

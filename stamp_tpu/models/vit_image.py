@@ -94,18 +94,22 @@ class _Mlp(nn.Module):
 
 
 class _SwiGLU(nn.Module):
-    """timm SwiGLUPacked: fc1 produces 2×hidden, gate = silu(x1)·x2."""
+    """timm SwiGLUPacked: fc1 emits ``hidden`` features which are split into
+    two halves, gate = silu(x1)·x2 (i.e. the packed convention — the
+    per-branch width is hidden//2)."""
 
     dim: int
     hidden: int
+    use_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x12 = nn.Dense(2 * self.hidden, name="fc1")(x)
+        x12 = nn.Dense(self.hidden, name="fc1")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
-        # timm SwiGLU applies a norm before the output projection
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        if self.use_norm:
+            # timm SwiGLUPacked has a norm before the output projection
+            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return nn.Dense(self.dim, name="fc2")(x)
 
 

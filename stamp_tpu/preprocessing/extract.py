@@ -219,7 +219,9 @@ def extract_(
                 canny_cutoff=canny_cutoff,
                 default_slide_mpp=default_slide_mpp,
             ):
-                feats_list.append(extractor.forward(batch).astype(np.float16))
+                # device arrays accumulate without blocking — transfers and
+                # compute of consecutive batches overlap
+                feats_list.append(extractor.forward(batch))
                 coords_list.append(coords)
         except MPPExtractionError:
             _logger.exception(
@@ -241,7 +243,9 @@ def extract_(
             try:
                 with h5py.File(tmp_h5_file.name, "w") as h5_fp:
                     h5_fp["coords"] = coords
-                    h5_fp["feats"] = np.concatenate(feats_list)
+                    h5_fp["feats"] = np.concatenate(
+                        [np.asarray(f).astype(np.float16) for f in feats_list]
+                    )
                     h5_fp.attrs["stamp_version"] = stamp_tpu.__version__
                     h5_fp.attrs["extractor"] = str(extractor_id)
                     h5_fp.attrs["unit"] = "um"

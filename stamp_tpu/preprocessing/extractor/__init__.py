@@ -157,15 +157,16 @@ def make_vit_extractor(
         "token_avg_concat": 2 * cfg.embed_dim,
     }[cfg.pool]
 
-    def forward(batch: np.ndarray) -> np.ndarray:
+    def forward(batch: np.ndarray) -> jax.Array:
+        """Non-blocking: returns the device array so transfers and compute of
+        consecutive batches overlap; callers materialize at write time."""
         n = batch.shape[0]
         if batch_pad and n < 64:
             # pad to the steady-state batch so the jit cache stays warm
             batch = np.concatenate(
                 [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
             )
-        out = np.asarray(_forward(jnp.asarray(batch)))
-        return out[:n]
+        return _forward_impl(variables, jnp.asarray(batch))[:n]
 
     return Extractor(
         identifier=identifier,

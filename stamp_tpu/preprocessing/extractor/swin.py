@@ -66,13 +66,13 @@ def make_ctranspath_extractor(
     def _forward(images_u8: jax.Array) -> jax.Array:
         return _forward_impl(variables, images_u8)
 
-    def forward(batch: np.ndarray) -> np.ndarray:
+    def forward(batch: np.ndarray) -> jax.Array:
         n = batch.shape[0]
         if n < 64:
             batch = np.concatenate(
                 [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
             )
-        return np.asarray(_forward(jnp.asarray(batch)))[:n]
+        return _forward_impl(variables, jnp.asarray(batch))[:n]
 
     return Extractor(
         identifier=identifier,
