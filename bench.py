@@ -66,7 +66,7 @@ def main() -> None:
 
     best = 0.0
     best_batch = 0
-    for batch_size in (64, 256):
+    for batch_size in (256, 512):
         try:
             batch = jax.random.randint(
                 jax.random.PRNGKey(1), (batch_size, 224, 224, 3), 0, 255, jnp.uint8

@@ -138,8 +138,11 @@ def make_vit_extractor(
 
     # Keep weights on device and pass them as a jit ARGUMENT — closing over
     # them would bake gigabytes of constants into the HLO and make every
-    # compile ship the weights.
-    variables = jax.device_put(variables)
+    # compile ship the weights.  Inference weights are bf16: f32 weights
+    # would silently promote every matmul off the bf16 MXU path.
+    variables = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), variables)
+    )
 
     @jax.jit
     def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:

@@ -155,11 +155,17 @@ def musk() -> Extractor:
 
 
 def plip() -> Extractor:
-    return _not_ported("plip")
+    """PLIP CLIP ViT-B/32 image features (reference extractor/plip.py)."""
+    from stamp_tpu.preprocessing.extractor.clip_like import make_plip_extractor
+
+    return make_plip_extractor(identifier="plip")
 
 
 def keep() -> Extractor:
-    return _not_ported("keep")
+    """KEEP ViT-L + projection head (reference extractor/keep.py)."""
+    from stamp_tpu.preprocessing.extractor.clip_like import make_keep_extractor
+
+    return make_keep_extractor(identifier="keep")
 
 
 def ticon() -> Extractor:
