@@ -1,0 +1,96 @@
+"""TICON extractor: H-Optimus-1 tile encoder → TICON contextualizer
+(reference extractor/ticon.py:624-741; single-tile mode with zero relative
+coordinates)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stamp_tpu.models.ticon import TiconEncoder, convert_ticon_state_dict
+from stamp_tpu.models.vit_image import VIT_CONFIGS, ImageViT, convert_torch_state_dict
+from stamp_tpu.preprocessing.extractor import (
+    Extractor,
+    _find_torch_weights,
+    _load_torch_state_dict,
+    _resize_transform,
+)
+
+_logger = logging.getLogger("stamp")
+
+
+def make_ticon_extractor(identifier: str = "ticon") -> Extractor:
+    cfg = VIT_CONFIGS["h_optimus"]
+    tile_module = ImageViT(cfg)
+    ticon_module = TiconEncoder()
+
+    if os.environ.get("STAMP_RANDOM_WEIGHTS") == "1":
+        _logger.warning(f"{identifier}: using RANDOM weights")
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            tile_vars = tile_module.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+            )
+            ticon_vars = ticon_module.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, 1, 1536)),
+                jnp.zeros((1, 1, 2)),
+            )
+    else:
+        tile_path = _find_torch_weights(
+            ["*h-optimus-1*.safetensors", "*h_optimus_1*.bin"]
+        )
+        ticon_path = _find_torch_weights(["*TICON*checkpoint.pth", "*ticon*.pth"])
+        if tile_path is None or ticon_path is None:
+            raise FileNotFoundError(
+                f"weights for '{identifier}' not found (needs both the "
+                "H-Optimus-1 and TICON checkpoints in ~/.cache/stamp or "
+                "STAMP_WEIGHTS_DIR)."
+            )
+        tile_vars = convert_torch_state_dict(_load_torch_state_dict(tile_path), cfg)
+        sd = _load_torch_state_dict(ticon_path)
+        sd = {
+            k.removeprefix("backbone."): v
+            for k, v in sd.items()
+            if k.startswith("backbone.")
+        } or sd
+        ticon_vars = convert_ticon_state_dict(sd)
+
+    def bf16(tree):
+        return jax.device_put(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), tree)
+        )
+
+    tile_vars = bf16(tile_vars)
+    ticon_vars = bf16(ticon_vars)
+
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
+
+    @jax.jit
+    def _forward_impl(tile_vars, ticon_vars, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) / std
+        emb = tile_module.apply(tile_vars, x.astype(jnp.bfloat16))  # [B, 1536]
+        emb = emb[:, None, :]  # [B, 1, 1536] — single-tile context
+        coords = jnp.zeros((emb.shape[0], 1, 2), emb.dtype)
+        out = ticon_module.apply(ticon_vars, emb, coords)
+        return out[:, 0].astype(jnp.float32)
+
+    def forward(batch: np.ndarray):
+        n = batch.shape[0]
+        if n < 64:
+            batch = np.concatenate(
+                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+            )
+        return _forward_impl(tile_vars, ticon_vars, jnp.asarray(batch))[:n]
+
+    return Extractor(
+        identifier=identifier,
+        input_px=224,
+        feat_dim=1536,
+        transform_host=_resize_transform(224),
+        forward=forward,
+    )

@@ -169,7 +169,10 @@ def keep() -> Extractor:
 
 
 def ticon() -> Extractor:
-    return _not_ported("ticon")
+    """H-Optimus-1 → TICON contextualizer (reference extractor/ticon.py)."""
+    from stamp_tpu.preprocessing.extractor.ticon import make_ticon_extractor
+
+    return make_ticon_extractor(identifier="ticon")
 
 
 def resolve_extractor(name: "ExtractorName | Extractor") -> Extractor:
