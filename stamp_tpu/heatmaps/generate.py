@@ -76,6 +76,42 @@ def _gradcam_single(
     return np.asarray(cam)
 
 
+def _attention_rollout_single(
+    model, variables, feats: np.ndarray, coords: np.ndarray
+) -> np.ndarray:
+    """Attention rollout: CLS→tile relevance aggregated across layers
+    (reference heatmaps/__init__.py:59-112); uses the model's sown attention
+    maps instead of module-attribute capture."""
+    module = model.module
+    kwargs: dict = dict(train=False, sow_weights=True)
+    if model.uses_coords:
+        kwargs.update(coords=jnp.asarray(coords)[None], key_mask=None)
+    _out, state = module.apply(
+        variables, jnp.asarray(feats)[None], **kwargs, mutable=["intermediates"]
+    )
+
+    rollout: np.ndarray | None = None
+    inter = state["intermediates"]
+    # collect attn_weights from every block, in layer order
+    maps = []
+    for block_name in sorted(k for k in inter.keys() if k.startswith("block_")):
+        mhsa = inter[block_name].get("mhsa", {})
+        w = mhsa.get("attn_weights")
+        if w:
+            maps.append(np.asarray(w[0])[0])  # [heads, seq, seq]
+    if not maps:
+        raise RuntimeError("no attention maps collected from transformer layers")
+
+    for attn in maps:
+        attn = attn.mean(0)  # [seq, seq]
+        attn = attn / (attn.sum(axis=-1, keepdims=True) + 1e-8)
+        rollout = attn if rollout is None else rollout @ attn
+
+    cls_attn = rollout[0, 1:]  # CLS → tiles
+    cls_attn = cls_attn - cls_attn.min()
+    return cls_attn / max(cls_attn.max(), 1e-8)
+
+
 def _per_tile_scores(
     model, variables, feats: np.ndarray, coords: np.ndarray
 ) -> np.ndarray:

@@ -586,11 +586,12 @@ def train_model_(
 
     for epoch in range(max_epochs):
         # ---- train ----
+        from stamp_tpu.parallel.prefetch import prefetch_to_device
+
         train_losses = []
         train_outputs = []
-        for batch in train_dl:
+        for device_batch in prefetch_to_device(train_dl, size=2):
             rng, step_rng = jax.random.split(rng)
-            device_batch = jax.tree_util.tree_map(jnp.asarray, batch)
             params, opt_state, mutated, loss, outputs = train_step(
                 params, opt_state, model_state, device_batch, step_rng
             )

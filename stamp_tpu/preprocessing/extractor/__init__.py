@@ -17,10 +17,10 @@ initialization — for throughput benchmarking only.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable
 
 import jax
@@ -140,16 +140,40 @@ def make_vit_extractor(
     # them would bake gigabytes of constants into the HLO and make every
     # compile ship the weights.  Inference weights are bf16: f32 weights
     # would silently promote every matmul off the bf16 MXU path.
-    variables = jax.device_put(
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), variables)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), variables
     )
 
-    @jax.jit
-    def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
-        x = (images_u8.astype(jnp.float32) - mean) / std
-        x = x.astype(jnp.bfloat16)
-        feats = module.apply(variables, x)
-        return feats.astype(jnp.float32)
+    # Multi-chip extraction: replicate weights, shard the tile batch over a
+    # data-parallel mesh — XLA splits the work, no collectives needed.
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        repl = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        variables = jax.device_put(variables, repl)
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, batch_sharding),
+            out_shardings=batch_sharding,
+        )
+        def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return module.apply(variables, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
+    else:
+        variables = jax.device_put(variables)
+
+        @jax.jit
+        def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return module.apply(variables, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
 
     def _forward(images_u8: jax.Array) -> jax.Array:
         return _forward_impl(variables, images_u8)
@@ -164,10 +188,12 @@ def make_vit_extractor(
         """Non-blocking: returns the device array so transfers and compute of
         consecutive batches overlap; callers materialize at write time."""
         n = batch.shape[0]
-        if batch_pad and n < 64:
-            # pad to the steady-state batch so the jit cache stays warm
+        pad_to = max(64, ((n + n_dev - 1) // n_dev) * n_dev) if batch_pad else n
+        if n < pad_to:
+            # pad to the steady-state batch so the jit cache stays warm and
+            # the batch divides evenly across the dp mesh
             batch = np.concatenate(
-                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((pad_to - n, *batch.shape[1:]), batch.dtype)]
             )
         return _forward_impl(variables, jnp.asarray(batch))[:n]
 

@@ -1,0 +1,138 @@
+"""Heatmaps for regression/survival checkpoints + attention rollout."""
+
+import h5py
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+import stamp_tpu
+from stamp_tpu.heatmaps.generate import _attention_rollout_single, heatmaps_
+from stamp_tpu.modeling.checkpoint import save_checkpoint
+from stamp_tpu.modeling.tasks import LitTileRegressor, LitTileSurvival
+
+
+def _fake_cohort(tmp_path, feat_dim=8):
+    rng = np.random.default_rng(0)
+    wsi_dir = tmp_path / "wsi"
+    wsi_dir.mkdir()
+    Image.fromarray(rng.integers(0, 255, (448, 448, 3), dtype=np.uint8)).save(
+        wsi_dir / "slide1.png"
+    )
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    coords_um = np.array([[0, 0], [256, 0], [0, 256], [256, 256]], dtype=np.float32)
+    with h5py.File(feat_dir / "slide1.h5", "w") as h5:
+        h5["feats"] = rng.normal(size=(4, feat_dim)).astype(np.float32)
+        h5["coords"] = coords_um
+        h5.attrs["stamp_version"] = stamp_tpu.__version__
+        h5.attrs["extractor"] = "test"
+        h5.attrs["unit"] = "um"
+        h5.attrs["tile_size_um"] = 256.0
+        h5.attrs["tile_size_px"] = 224
+        h5.attrs["feat_type"] = "tile"
+    return wsi_dir, feat_dir
+
+
+def _vit_kwargs(feat_dim):
+    from stamp_tpu.models.vision_transformer import VisionTransformer
+
+    return dict(
+        model_class=VisionTransformer,
+        dim_input=feat_dim,
+        model_name="vit",
+        dim_model=16,
+        dim_feedforward=16,
+        n_heads=4,
+        n_layers=1,
+    )
+
+
+@pytest.mark.slow
+def test_heatmaps_regression(tmp_path):
+    feat_dim = 8
+    wsi_dir, feat_dir = _fake_cohort(tmp_path, feat_dim)
+    model = LitTileRegressor(ground_truth_label="t", **_vit_kwargs(feat_dim))
+    example = (
+        np.zeros((1, 4, feat_dim), np.float32),
+        np.zeros((1, 4, 2), np.float32),
+        np.array([4]),
+        np.zeros((1, 1), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), example)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(ckpt, hyper_parameters=model.checkpoint_hparams(), variables=variables)
+
+    heatmaps_(
+        feature_dir=feat_dir,
+        wsi_dir=wsi_dir,
+        checkpoint_path=ckpt,
+        output_dir=tmp_path / "out",
+        slide_paths=None,
+        default_slide_mpp=256.0 / 224.0,
+        opacity=0.6,
+        topk=1,
+        bottomk=1,
+    )
+    out = tmp_path / "out" / "slide1"
+    assert (out / "raw" / "slide1-heatmap.png").exists()
+    assert len(list((out / "tiles").glob("*.jpg"))) == 2
+
+
+@pytest.mark.slow
+def test_heatmaps_survival_with_cutoff(tmp_path):
+    feat_dim = 8
+    wsi_dir, feat_dir = _fake_cohort(tmp_path, feat_dim)
+    model = LitTileSurvival(
+        time_label="day", status_label="status", **_vit_kwargs(feat_dim)
+    )
+    model.hparams["train_pred_median"] = 0.1
+    example = (
+        np.zeros((1, 4, feat_dim), np.float32),
+        np.zeros((1, 4, 2), np.float32),
+        np.array([4]),
+        np.zeros((1, 2), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), example)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(ckpt, hyper_parameters=model.checkpoint_hparams(), variables=variables)
+
+    heatmaps_(
+        feature_dir=feat_dir,
+        wsi_dir=wsi_dir,
+        checkpoint_path=ckpt,
+        output_dir=tmp_path / "out",
+        slide_paths=None,
+        default_slide_mpp=256.0 / 224.0,
+        opacity=0.6,
+        topk=0,
+        bottomk=0,
+    )
+    out = tmp_path / "out" / "slide1"
+    assert (out / "raw" / "slide1-heatmap.png").exists()
+    assert list((out / "plots").glob("overview-*.png"))
+
+
+def test_attention_rollout():
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+
+    feat_dim = 8
+    model = LitTileClassifier(
+        ground_truth_label="gt",
+        categories=["a", "b"],
+        category_weights=np.array([0.5, 0.5], np.float32),
+        **_vit_kwargs(feat_dim),
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(6, feat_dim)).astype(np.float32)
+    coords = rng.uniform(0, 1000, size=(6, 2)).astype(np.float32)
+    example = (
+        feats[None],
+        coords[None],
+        np.array([6]),
+        np.zeros((1, 2), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), example)
+    rollout = _attention_rollout_single(model, variables, feats, coords)
+    assert rollout.shape == (6,)
+    assert rollout.min() >= 0 and rollout.max() <= 1.0 + 1e-6
