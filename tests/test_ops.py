@@ -83,3 +83,33 @@ def test_mamba2_block():
     y = m.apply(v, jnp.asarray(rng.normal(size=(50, 64)).astype(np.float32)))
     assert y.shape == (50, 64)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_dilated_attention_matches_masked_reference():
+    from stamp_tpu.ops.dilated_attention import (
+        _segment_dilated,
+        dilated_attention,
+        dilated_attention_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    H, L, D = 4, 64, 16
+    q = jnp.asarray(rng.normal(size=(H, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(H, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(H, L, D)).astype(np.float32))
+
+    for w, r in [(16, 1), (16, 2), (32, 4)]:
+        out = _segment_dilated(q, k, v, w, r)
+        ref = dilated_attention_reference(q, k, v, w=w, r=r)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    out = dilated_attention(
+        q, k, v, segment_lengths=(16, 32), dilation_rates=(1, 2)
+    )
+    ref = jnp.concatenate(
+        [
+            dilated_attention_reference(q[:2], k[:2], v[:2], w=16, r=1),
+            dilated_attention_reference(q[2:], k[2:], v[2:], w=32, r=2),
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
