@@ -36,6 +36,10 @@ struct Slide {
   std::vector<Level> levels;  // sorted by size, levels[0] = full resolution
   std::string description;
   double mpp = -1.0;
+  uint16_t compression = 0;   // level-0 compression tag
+  bool raw_only = false;      // codec not configured (e.g. Aperio JPEG2000):
+                              // only raw tile access works; the Python layer
+                              // decodes the codestreams (PIL/openjpeg)
 };
 
 void parse_mpp(Slide* s) {
@@ -137,10 +141,17 @@ void* wsi_open(const char* path) {
             });
 
   TIFFSetDirectory(tif, s->levels[0].dir_index);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &s->compression);
   if (!is_supported_compression(tif)) {
-    TIFFClose(tif);
-    delete s;
-    return nullptr;
+    // Aperio JPEG2000 (33003/33005) and other unconfigured codecs: keep the
+    // handle open for raw tile access; pixel decode happens host-side.
+    if (TIFFIsTiled(tif)) {
+      s->raw_only = true;
+    } else {
+      TIFFClose(tif);
+      delete s;
+      return nullptr;
+    }
   }
 
   parse_mpp(s);
@@ -173,6 +184,53 @@ const char* wsi_description(void* handle) {
   return ((Slide*)handle)->description.c_str();
 }
 double wsi_mpp(void* handle) { return ((Slide*)handle)->mpp; }
+int32_t wsi_compression(void* handle) {
+  return (int32_t)((Slide*)handle)->compression;
+}
+int32_t wsi_raw_only(void* handle) {
+  return ((Slide*)handle)->raw_only ? 1 : 0;
+}
+
+// Tile geometry of a level (0 if not tiled).
+int32_t wsi_tile_width(void* handle, int32_t level) {
+  Slide* s = (Slide*)handle;
+  if (level < 0 || level >= (int32_t)s->levels.size()) return 0;
+  if (!TIFFSetDirectory(s->tif, s->levels[level].dir_index)) return 0;
+  if (!TIFFIsTiled(s->tif)) return 0;
+  uint32_t tw = 0;
+  TIFFGetField(s->tif, TIFFTAG_TILEWIDTH, &tw);
+  return (int32_t)tw;
+}
+int32_t wsi_tile_height(void* handle, int32_t level) {
+  Slide* s = (Slide*)handle;
+  if (level < 0 || level >= (int32_t)s->levels.size()) return 0;
+  if (!TIFFSetDirectory(s->tif, s->levels[level].dir_index)) return 0;
+  if (!TIFFIsTiled(s->tif)) return 0;
+  uint32_t th = 0;
+  TIFFGetField(s->tif, TIFFTAG_TILELENGTH, &th);
+  return (int32_t)th;
+}
+
+// Raw (undecoded) tile bytes of tile containing (x, y) at `level`; returns
+// byte count, or -1 on error, or -needed if the buffer is too small.
+int64_t wsi_read_raw_tile(void* handle, int32_t level, int64_t x, int64_t y,
+                          void* buf, int64_t bufsize) {
+  Slide* s = (Slide*)handle;
+  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
+  TIFF* tif = s->tif;
+  if (!TIFFSetDirectory(tif, s->levels[level].dir_index)) return -1;
+  if (!TIFFIsTiled(tif)) return -1;
+  uint32_t tile_index =
+      TIFFComputeTile(tif, (uint32_t)x, (uint32_t)y, 0, 0);
+  tmsize_t size = TIFFTileSize64(tif);
+  uint64_t* bytecounts = nullptr;
+  if (TIFFGetField(tif, TIFFTAG_TILEBYTECOUNTS, &bytecounts) && bytecounts) {
+    size = (tmsize_t)bytecounts[tile_index];
+  }
+  if (size > bufsize) return -(int64_t)size;
+  tmsize_t n = TIFFReadRawTile(tif, tile_index, buf, size);
+  return (int64_t)n;
+}
 
 // Read a level-0 region into out (RGBA, h×w×4, row-major top-left origin).
 // Out-of-bounds areas are filled with opaque white (OpenSlide fills

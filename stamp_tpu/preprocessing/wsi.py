@@ -130,6 +130,26 @@ def _load_native() -> ctypes.CDLL | None:
                 lib.wsi_level_width.argtypes = [ctypes.c_void_p, ctypes.c_int32]
                 lib.wsi_level_height.restype = ctypes.c_int64
                 lib.wsi_level_height.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                try:  # raw-tile interface (J2K path); absent in older builds
+                    lib.wsi_compression.restype = ctypes.c_int32
+                    lib.wsi_compression.argtypes = [ctypes.c_void_p]
+                    lib.wsi_raw_only.restype = ctypes.c_int32
+                    lib.wsi_raw_only.argtypes = [ctypes.c_void_p]
+                    lib.wsi_tile_width.restype = ctypes.c_int32
+                    lib.wsi_tile_width.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                    lib.wsi_tile_height.restype = ctypes.c_int32
+                    lib.wsi_tile_height.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                    lib.wsi_read_raw_tile.restype = ctypes.c_int64
+                    lib.wsi_read_raw_tile.argtypes = [
+                        ctypes.c_void_p,
+                        ctypes.c_int32,
+                        ctypes.c_int64,
+                        ctypes.c_int64,
+                        ctypes.c_void_p,
+                        ctypes.c_int64,
+                    ]
+                except AttributeError:
+                    pass
                 _native = lib
                 break
             except OSError as e:  # pragma: no cover
@@ -170,6 +190,64 @@ class CTiffSlide:
             int(self._lib.wsi_height(self._handle)),
         )
 
+    @property
+    def _raw_only(self) -> bool:
+        fn = getattr(self._lib, "wsi_raw_only", None)
+        return bool(fn(self._handle)) if fn else False
+
+    # --- JPEG2000 (Aperio 33003/33005) path: libtiff hands us the raw tile
+    # codestreams, Pillow/openjpeg decodes them host-side ---------------------
+
+    def _decode_raw_tile(self, level: int, tx: int, ty: int) -> np.ndarray:
+        import io
+
+        tw = int(self._lib.wsi_tile_width(self._handle, level))
+        th = int(self._lib.wsi_tile_height(self._handle, level))
+        buf = ctypes.create_string_buffer(tw * th * 4 + 4096)
+        n = self._lib.wsi_read_raw_tile(
+            self._handle, level, tx, ty, buf, len(buf)
+        )
+        if n < 0 and -n > len(buf):
+            buf = ctypes.create_string_buffer(-n)
+            n = self._lib.wsi_read_raw_tile(
+                self._handle, level, tx, ty, buf, len(buf)
+            )
+        if n <= 0:
+            raise RuntimeError(f"raw tile read failed at level {level} ({tx},{ty})")
+        img = Image.open(io.BytesIO(buf.raw[:n]))  # j2k codestream
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        if arr.shape[0] != th or arr.shape[1] != tw:
+            padded = np.zeros((th, tw, 3), np.uint8)
+            padded[: arr.shape[0], : arr.shape[1]] = arr
+            arr = padded
+        return arr
+
+    def _read_region_raw(
+        self, x: int, y: int, w: int, h: int, level: int = 0
+    ) -> np.ndarray:
+        tw = int(self._lib.wsi_tile_width(self._handle, level))
+        th = int(self._lib.wsi_tile_height(self._handle, level))
+        if tw == 0 or th == 0:
+            raise RuntimeError("raw-only slide without tiles")
+        lw = int(self._lib.wsi_level_width(self._handle, level))
+        lh = int(self._lib.wsi_level_height(self._handle, level))
+        out = np.full((h, w, 4), 255, np.uint8)
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, lw), min(y + h, lh)
+        ty = (y0 // th) * th
+        while ty < y1:
+            tx = (x0 // tw) * tw
+            while tx < x1:
+                tile = self._decode_raw_tile(level, tx, ty)
+                cx0, cx1 = max(tx, x0), min(tx + tw, x1)
+                cy0, cy1 = max(ty, y0), min(ty + th, y1)
+                out[cy0 - y : cy1 - y, cx0 - x : cx1 - x, :3] = tile[
+                    cy0 - ty : cy1 - ty, cx0 - tx : cx1 - tx
+                ]
+                tx += tw
+            ty += th
+        return out
+
     def read_region(
         self, location: tuple[int, int], level: int, size: tuple[int, int]
     ) -> Image.Image:
@@ -177,6 +255,8 @@ class CTiffSlide:
             raise ValueError("only level-0 reads are supported")
         x, y = int(location[0]), int(location[1])
         w, h = int(size[0]), int(size[1])
+        if self._raw_only:
+            return Image.fromarray(self._read_region_raw(x, y, w, h), "RGBA")
         buf = np.empty((h, w, 4), dtype=np.uint8)
         rc = self._lib.wsi_read_region(
             self._handle, x, y, w, h, buf.ctypes.data_as(ctypes.c_void_p)
@@ -211,12 +291,15 @@ class CTiffSlide:
                 break
         lw = int(self._lib.wsi_level_width(self._handle, best))
         lh = int(self._lib.wsi_level_height(self._handle, best))
-        buf = np.empty((lh, lw, 4), dtype=np.uint8)
-        rc = self._lib.wsi_read_level(
-            self._handle, best, buf.ctypes.data_as(ctypes.c_void_p)
-        )
-        if rc != 0:
-            raise RuntimeError(f"reading level {best} failed with code {rc}")
+        if self._raw_only:
+            buf = self._read_region_raw(0, 0, lw, lh, level=best)
+        else:
+            buf = np.empty((lh, lw, 4), dtype=np.uint8)
+            rc = self._lib.wsi_read_level(
+                self._handle, best, buf.ctypes.data_as(ctypes.c_void_p)
+            )
+            if rc != 0:
+                raise RuntimeError(f"reading level {best} failed with code {rc}")
         img = Image.fromarray(buf, "RGBA").convert("RGB")
         img.thumbnail(size, Image.Resampling.LANCZOS)
         return img

@@ -184,3 +184,27 @@ def test_extract_random_vit(synthetic_slide, tmp_path, monkeypatch):
         assert feats.shape[1] == 64
         assert feats.dtype == np.float16
         assert np.isfinite(feats.astype(np.float32)).all()
+
+
+def test_native_reader_jpeg2000_svs(tmp_path):
+    """Aperio-style J2K-coded tiled TIFF: raw tiles via libtiff, decode via
+    PIL/openjpeg — pixel-exact for lossless streams."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from wsi_util import write_j2k_tiff
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    path = tmp_path / "j2k.tif"
+    write_j2k_tiff(path, arr)
+
+    slide = open_slide(path)
+    assert isinstance(slide, CTiffSlide)
+    assert slide._raw_only
+    assert slide.dimensions == (400, 300)
+
+    region = np.array(slide.read_region((50, 40), 0, (100, 80)))[:, :, :3]
+    np.testing.assert_array_equal(region, arr[40:120, 50:150])
+
+    thumb = slide.get_thumbnail((100, 100))
+    assert thumb.size == (100, 75)
