@@ -113,6 +113,7 @@ def _run_cli(args: argparse.Namespace) -> None:
                 canny_cutoff=config.preprocessing.canny_cutoff,
                 cache_tiles_ext=config.preprocessing.cache_tiles_ext,
                 generate_hash=config.preprocessing.generate_hash,
+                macenko_normalization=config.preprocessing.macenko_normalization,
             )
 
         case "encode_slides":

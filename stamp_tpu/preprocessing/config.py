@@ -58,3 +58,7 @@ class PreprocessingConfig(BaseModel, arbitrary_types_allowed=True):
     canny_cutoff: float | None = Field(0.02, gt=0.0, lt=1.0)
     """Any tile with a lower ratio of pixels classified as "edges" than this
     will be rejected.  If set to `None`, texture-based rejection is disabled."""
+
+    macenko_normalization: bool = False
+    """Apply Macenko stain normalization to every tile before feature
+    extraction (fused on-device kernel; STAMP-v1-era capability)."""

@@ -148,6 +148,7 @@ def extract_(
     brightness_cutoff: int | None = 240,
     canny_cutoff: float | None = 0.02,
     generate_hash: bool = True,
+    macenko_normalization: bool = False,
 ) -> None:
     """Extracts features from slides, fail-safe per slide."""
     del device  # jax picks the backend
@@ -219,6 +220,12 @@ def extract_(
                 canny_cutoff=canny_cutoff,
                 default_slide_mpp=default_slide_mpp,
             ):
+                if macenko_normalization:
+                    import jax.numpy as jnp
+
+                    from stamp_tpu.ops.macenko import macenko_normalize
+
+                    batch = np.asarray(macenko_normalize(jnp.asarray(batch)))
                 # device arrays accumulate without blocking — transfers and
                 # compute of consecutive batches overlap
                 feats_list.append(extractor.forward(batch))

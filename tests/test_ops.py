@@ -113,3 +113,29 @@ def test_dilated_attention_matches_masked_reference():
         ]
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_macenko_normalization():
+    from stamp_tpu.ops.macenko import macenko_normalize
+
+    rng = np.random.default_rng(0)
+    tile = np.full((64, 64, 3), 250, np.uint8)
+    tissue = rng.integers(0, 2, (64, 64), dtype=bool)
+    n = int(tissue.sum())
+    tile[tissue] = np.stack(
+        [
+            rng.integers(120, 180, n),
+            rng.integers(60, 110, n),
+            rng.integers(130, 190, n),
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    batch = np.stack([tile, np.full((64, 64, 3), 255, np.uint8)])
+
+    out = np.asarray(macenko_normalize(jnp.asarray(batch)))
+    assert out.shape == batch.shape and out.dtype == np.uint8
+    # background-only tile passes through unchanged (too little tissue)
+    np.testing.assert_array_equal(out[1], batch[1])
+    # tissue tile is renormalized but background pixels stay bright
+    assert not np.array_equal(out[0], batch[0])
+    assert out[0][~tissue].mean() > 200
