@@ -280,7 +280,47 @@ def heatmaps_(
     topk: int,
     bottomk: int,
 ) -> None:
-    del device
+    from stamp_tpu.modeling.train import _accelerator_device
+
+    dev = _accelerator_device(device)
+    if dev is not None:
+        with jax.default_device(dev):
+            return _heatmaps_impl(
+                feature_dir=feature_dir,
+                wsi_dir=wsi_dir,
+                checkpoint_path=checkpoint_path,
+                output_dir=output_dir,
+                slide_paths=slide_paths,
+                default_slide_mpp=default_slide_mpp,
+                opacity=opacity,
+                topk=topk,
+                bottomk=bottomk,
+            )
+    return _heatmaps_impl(
+        feature_dir=feature_dir,
+        wsi_dir=wsi_dir,
+        checkpoint_path=checkpoint_path,
+        output_dir=output_dir,
+        slide_paths=slide_paths,
+        default_slide_mpp=default_slide_mpp,
+        opacity=opacity,
+        topk=topk,
+        bottomk=bottomk,
+    )
+
+
+def _heatmaps_impl(
+    *,
+    feature_dir: Path,
+    wsi_dir: Path,
+    checkpoint_path: Path,
+    output_dir: Path,
+    slide_paths: Iterable[Path] | None,
+    default_slide_mpp: SlideMPP | None,
+    opacity: float,
+    topk: int,
+    bottomk: int,
+) -> None:
     if slide_paths is not None:
         wsis_to_process = (wsi_dir / slide for slide in slide_paths)
     else:

@@ -74,7 +74,29 @@ def _predict(
     accelerator: str | None = None,
 ) -> PredictionsType:
     """Run inference over the test iterator (reference deploy.py:390-456)."""
-    del accelerator
+    from stamp_tpu.modeling.train import _accelerator_device
+
+    device = _accelerator_device(accelerator)
+    if device is not None:
+        with jax.default_device(device):
+            return _predict_impl(
+                model=model,
+                variables=variables,
+                test_dl=test_dl,
+                patient_ids=patient_ids,
+            )
+    return _predict_impl(
+        model=model, variables=variables, test_dl=test_dl, patient_ids=patient_ids
+    )
+
+
+def _predict_impl(
+    *,
+    model: TaskModel,
+    variables: Any,
+    test_dl: BatchIterator,
+    patient_ids: Sequence[PatientId],
+) -> PredictionsType:
     is_tile = model.supported_features[0] == "tile"
     module = model.module
     uses_coords = model.uses_coords

@@ -484,6 +484,18 @@ class _EpochLogger:
                 writer.writerow(r)
 
 
+def _accelerator_device(accelerator: str | None):
+    """Resolve an ``accelerator`` config value to a jax device (or None for
+    the default backend).  'cpu' is honored like the reference honors
+    Lightning's accelerator; 'auto'/'tpu'/'gpu'/None use the default."""
+    if accelerator == "cpu":
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return None
+    return None
+
+
 def train_model_(
     *,
     output_dir: Path,
@@ -498,7 +510,36 @@ def train_model_(
 
     Returns (task_model, best_variables).
     """
-    del accelerator  # jax picks the backend; kept for signature parity
+    device = _accelerator_device(accelerator)
+    if device is not None:
+        with jax.default_device(device):
+            return _train_model_impl(
+                output_dir=output_dir,
+                model=model,
+                train_dl=train_dl,
+                valid_dl=valid_dl,
+                max_epochs=max_epochs,
+                patience=patience,
+            )
+    return _train_model_impl(
+        output_dir=output_dir,
+        model=model,
+        train_dl=train_dl,
+        valid_dl=valid_dl,
+        max_epochs=max_epochs,
+        patience=patience,
+    )
+
+
+def _train_model_impl(
+    *,
+    output_dir: Path,
+    model: TaskModel,
+    train_dl: BatchIterator,
+    valid_dl: BatchIterator,
+    max_epochs: int,
+    patience: int,
+) -> tuple[TaskModel, Any]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -588,9 +629,13 @@ def train_model_(
         # ---- train ----
         from stamp_tpu.parallel.prefetch import prefetch_to_device
 
+        # the prefetch producer is a separate thread, so the default-device
+        # context doesn't reach it — pin transfers to the params' device
+        feed_device = getattr(jax.tree_util.tree_leaves(params)[0], "device", None)
+
         train_losses = []
         train_outputs = []
-        for device_batch in prefetch_to_device(train_dl, size=2):
+        for device_batch in prefetch_to_device(train_dl, size=2, device=feed_device):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, mutated, loss, outputs = train_step(
                 params, opt_state, model_state, device_batch, step_rng
