@@ -39,7 +39,7 @@ def _flash_kernel(
     q_ref,  # [1, Bq, D]
     k_ref,  # [1, Bk, D]
     v_ref,  # [1, Bk, D]
-    mask_ref,  # [1, Bk] float (1 = valid)
+    mask_ref,  # [1, 8, Bk] float (1 = valid; sublane-replicated for Mosaic)
     o_ref,  # [1, Bq, D]
     m_scratch,  # [Bq, 128]
     l_scratch,  # [Bq, 128]
@@ -59,7 +59,7 @@ def _flash_kernel(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    mask = mask_ref[0]  # [Bk]
+    mask = mask_ref[0, 0]  # [Bk]
 
     s = jax.lax.dot_general(
         q,
@@ -119,7 +119,11 @@ def flash_mha(
         k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
         key_mask = jnp.pad(key_mask, ((0, 0), (0, k_pad)))
-    mask_f = key_mask.astype(jnp.float32)
+    # Mosaic wants the last-two block dims divisible by (8, 128): replicate
+    # the mask across an 8-wide sublane dim.
+    mask_f = jnp.broadcast_to(
+        key_mask.astype(jnp.float32)[:, None, :], (bh, 8, k.shape[1])
+    )
 
     n_q = q.shape[1] // block_q
     n_k = k.shape[1] // block_k
@@ -133,7 +137,7 @@ def flash_mha(
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
@@ -156,7 +160,7 @@ def _flash_alibi_kernel(
     v_ref,  # [1, Bk, D]
     cq_ref,  # [1, Bq, 128]  (xy in cols 0..1, zero-padded)
     ck_ref,  # [1, Bk, 128]
-    mask_ref,  # [1, Bk]
+    mask_ref,  # [1, 8, Bk] (sublane-replicated)
     o_ref,  # [1, Bq, D]
     dacc_out_ref,  # [1, Bq, D]  distance-weighted value accumulator output
     m_scratch,
@@ -179,7 +183,7 @@ def _flash_alibi_kernel(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    mask = mask_ref[0]
+    mask = mask_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -199,22 +203,22 @@ def _flash_alibi_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    # pairwise Euclidean distances via |a-b|² = |a|² + |b|² − 2a·b over the
-    # zero-padded coordinate lanes (only cols 0..1 are non-zero)
-    cq = cq_ref[0]
-    ck = ck_ref[0]
-    qq = jnp.sum(cq * cq, axis=1, keepdims=True)  # [Bq, 1]
-    kk = jnp.sum(ck * ck, axis=1, keepdims=True)  # [Bk, 1]
-    cross = jax.lax.dot_general(
-        cq, ck, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Bq, Bk]
-    dist2 = jnp.maximum(qq + kk[:, 0][None, :] - 2.0 * cross, 0.0)
-    dist = jnp.sqrt(dist2)
+    # pairwise Euclidean distances via exact per-axis differences on the VPU:
+    # the Gram-matrix identity |a|²+|b|²−2a·b cancels catastrophically for
+    # nearby µm-scale coordinates once the cross term hits the MXU.
+    cq = cq_ref[0]  # [Bq, 128] — x in lane 0, y in lane 1
+    ck = ck_ref[0]  # [Bk, 128]
+    dx = cq[:, 0:1] - ck[:, 0:1].T  # [Bq, Bk]
+    dy = cq[:, 1:2] - ck[:, 1:2].T
+    dist = jnp.sqrt(dx * dx + dy * dy)
     dist = jnp.where(mask[None, :] > 0, dist, 0.0)
 
     dacc_scratch[:] = dacc_scratch[:] + jax.lax.dot_general(
-        dist.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        dist.astype(v.dtype),
+        v,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -255,7 +259,9 @@ def flash_alibi_mha(
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
         coords_k = jnp.pad(coords_k, ((0, 0), (0, k_pad), (0, 0)))
         key_mask = jnp.pad(key_mask, ((0, 0), (0, k_pad)))
-    mask_f = key_mask.astype(jnp.float32)
+    mask_f = jnp.broadcast_to(
+        key_mask.astype(jnp.float32)[:, None, :], (bh, 8, k.shape[1])
+    )
 
     # pad coords' xy into 128 lanes so they tile cleanly
     cq = jnp.pad(coords_q.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
@@ -275,7 +281,7 @@ def flash_alibi_mha(
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, 128), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
