@@ -108,3 +108,33 @@ def test_sp_eval_forward(model):
         jax.device_put(jnp.ones((1, t), bool), seq),
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tp_sharded_extractor_forward():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stamp_tpu.models.vit_image import ImageViT, ViTConfig
+    from stamp_tpu.parallel.tp_extractor import make_tp_forward
+
+    cfg = ViTConfig(
+        patch_size=32, embed_dim=128, depth=2, num_heads=8, ffn="swiglu",
+        mlp_ratio=4.0,
+    )
+    module = ImageViT(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 224, 224, 3)).astype(np.float32)
+    )
+    variables = module.init(jax.random.PRNGKey(0), x[:1])
+    ref = module.apply(variables, x)
+
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    fwd, sharded = make_tp_forward(module, variables, mesh)
+    out = fwd(sharded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # the MLP up-projection really is column-sharded
+    leaf = sharded["params"]["block_0"]["mlp"]["fc1"]["kernel"]
+    assert "tp" in str(leaf.sharding.spec)
