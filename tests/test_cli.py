@@ -62,3 +62,67 @@ def test_cli_rejects_unknown_config_key(tmp_path):
     res = _run("-c", str(cfg), "crossval")
     assert res.returncode == 1
     assert "bogus_key" in res.stderr
+
+
+def test_cli_encode_slides(tmp_path, monkeypatch):
+    """encode_slides through the CLI with random-weight CHIEF."""
+    import h5py
+    import numpy as np
+
+    import stamp_tpu
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        with h5py.File(feat_dir / f"s{i}.h5", "w") as h5:
+            h5["feats"] = rng.normal(size=(20, 768)).astype(np.float32)
+            h5["coords"] = rng.uniform(0, 5000, (20, 2)).astype(np.float32)
+            h5.attrs["stamp_version"] = stamp_tpu.__version__
+            h5.attrs["extractor"] = "chief-ctranspath"
+            h5.attrs["unit"] = "um"
+            h5.attrs["tile_size_um"] = 256.0
+            h5.attrs["tile_size_px"] = 224
+            h5.attrs["feat_type"] = "tile"
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        f"""slide_encoding:
+  encoder: "chief"
+  output_dir: "{tmp_path / 'out'}"
+  feat_dir: "{feat_dir}"
+  device: "cpu"
+  generate_hash: false
+"""
+    )
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, STAMP_RANDOM_WEIGHTS="1")
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "stamp_tpu", "-c", str(cfg), "encode_slides"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    outs = sorted((tmp_path / "out" / "chief-slide").glob("*.h5"))
+    assert len(outs) == 2
+
+
+def test_wsi_list_subset(tmp_path):
+    from stamp_tpu.preprocessing.extract import _get_slide_paths
+
+    lst = tmp_path / "list.txt"
+    lst.write_text("a.svs\nb.tif\n\n")
+    assert _get_slide_paths(lst) == {"a.svs", "b.tif"}
+
+    import pandas as pd
+
+    csv = tmp_path / "list.csv"
+    pd.DataFrame(["x.svs", "y.svs"]).to_csv(csv, index=False, header=False)
+    assert _get_slide_paths(csv) == {"x.svs", "y.svs"}
