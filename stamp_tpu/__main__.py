@@ -80,6 +80,22 @@ def _run_cli(args: argparse.Namespace) -> None:
     if config.advanced_config is not None and config.advanced_config.seed is not None:
         Seed.set(config.advanced_config.seed)
 
+    # When the command's device/accelerator is explicitly "cpu", pin the jax
+    # platform before any backend initializes — skips the TPU claim entirely.
+    _device_pref = {
+        "preprocess": getattr(config.preprocessing, "device", None),
+        "encode_slides": getattr(config.slide_encoding, "device", None),
+        "encode_patients": getattr(config.patient_encoding, "device", None),
+        "train": getattr(config.advanced_config, "accelerator", None),
+        "crossval": getattr(config.advanced_config, "accelerator", None),
+        "deploy": getattr(config.deployment, "accelerator", None),
+        "heatmaps": getattr(config.heatmaps, "device", None),
+    }.get(args.command)
+    if _device_pref == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     match args.command:
         case "init":
             raise RuntimeError("this case should be handled above")
