@@ -230,7 +230,6 @@ class LitBaseClassifier(TaskModel):
 
         logits = np.concatenate(outputs)
         t = np.concatenate(targets)
-        losses = []
         # per-batch CE, averaged — mirrors Lightning's epoch mean over batch-1 steps
         logp = logits - _np_logsumexp(logits)
         w = self.class_weights

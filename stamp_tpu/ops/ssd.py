@@ -114,11 +114,9 @@ def ssd_chunked(
     )  # [nc, H, P, N]
 
     # --- inter-chunk contribution ---
-    # y_inter[t] = C_t · (exp(a_cum[t]) · S_prev)
+    # y_inter[t] = exp(a_cum[t]) · (C_t · S_prev)
     decay_in = jnp.exp(a_cum)  # [nc, t, H]
-    y_inter = jnp.einsum("cthpn,ctn,cth->cthp",
-                         jnp.broadcast_to(S_prev[:, None], (n_chunks, chunk, H, P, N)),
-                         Cc, decay_in)
+    y_inter = jnp.einsum("chpn,ctn,cth->cthp", S_prev, Cc, decay_in)
 
     y = (y_intra + y_inter).reshape(Lp, H, P)
     return y[:L]
