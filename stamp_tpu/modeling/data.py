@@ -573,6 +573,30 @@ def _open_h5(bag_file: FeaturePath | _BinaryIOLike) -> h5py.File:
         return h5py.File(bag_file, "r")
 
 
+class _H5HandleCache:
+    """LRU cache of open h5 handles (reference data.py:588-596).
+
+    A hit moves the key to the back; eviction closes the *least recently
+    used* handle (the front).  Plain-dict ``popitem()`` would evict the
+    newest entry, degenerating the cache once it is full.
+    """
+
+    def __init__(self, capacity: int = 128) -> None:
+        self._capacity = capacity
+        self._handles: dict = {}
+
+    def get(self, bag_file: FeaturePath | _BinaryIOLike) -> h5py.File:
+        key = bag_file if isinstance(bag_file, Path) else id(bag_file)
+        handle = self._handles.pop(key, None)
+        if handle is None:
+            if len(self._handles) >= self._capacity:
+                oldest = next(iter(self._handles))
+                self._handles.pop(oldest).close()
+            handle = _open_h5(bag_file)
+        self._handles[key] = handle  # (re)insert at the back = most recent
+        return handle
+
+
 def _to_fixed_size_bag(
     bag: np.ndarray,
     coords: np.ndarray,
@@ -623,7 +647,9 @@ class BagDataset:
     ground_truths: Union[np.ndarray, list[dict[str, np.ndarray]]] = None  # type: ignore[assignment]
     transform: Callable[[np.ndarray], np.ndarray] | None = None
     deterministic: bool = False
-    _h5_handle_cache: dict = field(default_factory=dict, repr=False)
+    _h5_handle_cache: _H5HandleCache = field(
+        default_factory=_H5HandleCache, repr=False
+    )
     _rng: np.random.Generator | None = None
 
     def __post_init__(self) -> None:
@@ -642,13 +668,7 @@ class BagDataset:
         return len(self.bags)
 
     def _handle(self, bag_file) -> h5py.File:
-        key = bag_file if isinstance(bag_file, Path) else id(bag_file)
-        if key not in self._h5_handle_cache:
-            if len(self._h5_handle_cache) >= 128:
-                _, h = self._h5_handle_cache.popitem()
-                h.close()
-            self._h5_handle_cache[key] = _open_h5(bag_file)
-        return self._h5_handle_cache[key]
+        return self._h5_handle_cache.get(bag_file)
 
     def __getitem__(
         self, index: int
@@ -696,20 +716,14 @@ class PatientFeatureDataset:
         self.feature_files = feature_files
         self.ground_truths = ground_truths
         self.transform = transform
-        self._h5_handle_cache: dict = {}
+        self._h5_handle_cache = _H5HandleCache()
 
     def __len__(self) -> int:
         return len(self.feature_files)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         feature_file = self.feature_files[idx]
-        key = feature_file if isinstance(feature_file, Path) else id(feature_file)
-        if key not in self._h5_handle_cache:
-            if len(self._h5_handle_cache) >= 128:
-                _, h = self._h5_handle_cache.popitem()
-                h.close()
-            self._h5_handle_cache[key] = _open_h5(feature_file)
-        h5 = self._h5_handle_cache[key]
+        h5 = self._h5_handle_cache.get(feature_file)
         feats = np.asarray(h5["feats"])
         if feats.ndim == 2 and feats.shape[0] == 1:
             feats = feats[0]

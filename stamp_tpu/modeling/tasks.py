@@ -156,16 +156,26 @@ class TaskModel:
         out = self.apply(variables, batch, train=False, key_mask=key_mask)
         return out
 
-    def make_optimizer(self) -> optax.GradientTransformation:
-        """AdamW + OneCycle (reference models/__init__.py:133-141)."""
-        schedule = optax.cosine_onecycle_schedule(
+    def lr_schedule(self) -> optax.Schedule:
+        """The learning-rate schedule the optimizer runs on.
+
+        Single source of truth: ``make_optimizer`` consumes it and the train
+        loop reads it back for per-epoch LR logging, so the logged value can
+        never drift from what the optimizer applies.
+        """
+        return optax.cosine_onecycle_schedule(
             transition_steps=max(self.total_steps, 1),
             peak_value=self.max_lr,
             pct_start=0.3,
             div_factor=self.div_factor,
             final_div_factor=1e4,
         )
-        return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        """AdamW + OneCycle (reference models/__init__.py:133-141)."""
+        return optax.adamw(
+            self.lr_schedule(), b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2
+        )
 
     def validation_metrics(
         self, outputs: list[np.ndarray], targets: list[np.ndarray]
@@ -484,9 +494,12 @@ class LitEncDecTransformer(TaskModel):
             **self._barspoon_params,
         )
 
+    def lr_schedule(self) -> optax.Schedule:
+        return optax.constant_schedule(self.learning_rate)
+
     def make_optimizer(self) -> optax.GradientTransformation:
         # reference barspoon.py:346-348 — plain Adam
-        return optax.adam(self.learning_rate)
+        return optax.adam(self.lr_schedule())
 
     def loss(self, outputs, batch) -> jax.Array:
         targets = batch[-1]

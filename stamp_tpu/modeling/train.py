@@ -688,18 +688,11 @@ def _train_model_impl(
         metrics["training_loss"] = train_loss
         metrics["epoch"] = epoch
         metrics["step"] = global_step
-        # reference logs the LR each epoch (models/__init__.py:143-152)
-        if getattr(model, "learning_rate", None) is not None:
-            metrics["learning_rate"] = float(model.learning_rate)  # plain Adam
-        else:
-            schedule = optax.cosine_onecycle_schedule(
-                transition_steps=max(model.total_steps, 1),
-                peak_value=model.max_lr,
-                pct_start=0.3,
-                div_factor=model.div_factor,
-                final_div_factor=1e4,
-            )
-            metrics["learning_rate"] = float(schedule(max(global_step - 1, 0)))
+        # reference logs the LR each epoch (models/__init__.py:143-152); read
+        # it from the same schedule the optimizer was built on
+        metrics["learning_rate"] = float(
+            model.lr_schedule()(max(global_step - 1, 0))
+        )
         if is_survival and model.train_pred_median is not None:
             metrics["train_pred_median"] = model.train_pred_median
         logger.log(metrics)

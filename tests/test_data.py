@@ -195,3 +195,43 @@ def test_batch_iterator_shapes(tmp_path):
     assert coords.shape == (4, 16, 2)
     assert sizes.shape == (4,)
     assert targets.shape == (4, 2)
+
+
+def test_h5_handle_cache_evicts_least_recently_used(tmp_path, monkeypatch):
+    """Hot handles survive eviction past the cap (reference data.py:588-596)."""
+    import stamp_tpu.modeling.data as data_mod
+    from stamp_tpu.modeling.data import _H5HandleCache
+
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"f{i}.h5"
+        with h5py.File(p, "w") as f:
+            f["feats"] = np.zeros((2, 4), dtype=np.float32)
+        paths.append(p)
+
+    opened = []
+    real_open = data_mod._open_h5
+
+    def counting_open(f):
+        opened.append(f)
+        return real_open(f)
+
+    monkeypatch.setattr(data_mod, "_open_h5", counting_open)
+
+    cache = _H5HandleCache(capacity=4)
+    for p in paths[:4]:
+        cache.get(p)
+    # Touch the first file again — it is now the most recently used.
+    hot = cache.get(paths[0])
+    assert opened == paths[:4]  # a hit must not reopen
+
+    # Two more inserts evict the two *least* recently used (f1, f2) — not the
+    # hot handle and not the entries just inserted.
+    cache.get(paths[4])
+    cache.get(paths[5])
+    assert cache.get(paths[0]) is hot
+    assert opened == paths[:6]  # f0 still cached, f4/f5 opened once each
+
+    # f1 was evicted, so asking for it again reopens it.
+    cache.get(paths[1])
+    assert opened == paths[:6] + [paths[1]]

@@ -67,6 +67,12 @@ def _make_cohort(tmp_path, *, n_patients=60, feat_dim=16, signal=2.0):
 @pytest.mark.slow
 @pytest.mark.parametrize("use_alibi", [True, False])
 def test_alibi_vit_learns_planted_signal(tmp_path, use_alibi):
+    # The CLI normally seeds via AdvancedConfig; calling the workflow directly
+    # leaves the global bag-sampling RNG in whatever state earlier tests left
+    # it — seed locally so the trajectory does not depend on test order.
+    from stamp_tpu.utils.seed import Seed
+
+    Seed.set(0)
     clini, slide, feats = _make_cohort(tmp_path)
 
     cfg = TrainConfig(
