@@ -2,8 +2,10 @@
 (src/stamp/__main__.py): init, config, preprocess, encode_slides,
 encode_patients, train, crossval, deploy, statistics, heatmaps.
 
-Heavy imports are deferred per-command so ``stamp init`` / ``--help`` stay
-instant (no jax import cost).
+Commands are table-driven: one ``_Command`` descriptor per subcommand names
+its config section, its device field (for CPU platform pinning), and a
+runner with a deferred import — so ``stamp init`` / ``--help`` stay instant
+(no jax import cost).
 """
 
 import argparse
@@ -11,7 +13,9 @@ import logging
 import os
 import shutil
 import sys
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Any, Callable
 
 import yaml
 
@@ -54,7 +58,221 @@ def _add_file_handle_(logger: logging.Logger, *, output_dir: Path) -> None:
     logger.addHandler(file_handler)
 
 
+# ---------------------------------------------------------------------------
+# Command runners (imports deferred into each body)
+# ---------------------------------------------------------------------------
+
+
+def _run_preprocess(config: Any, section: Any) -> None:
+    from stamp_tpu.preprocessing.extract import extract_
+
+    extract_(
+        output_dir=section.output_dir,
+        wsi_dir=section.wsi_dir,
+        wsi_list=section.wsi_list,
+        cache_dir=section.cache_dir,
+        tile_size_um=section.tile_size_um,
+        tile_size_px=section.tile_size_px,
+        extractor=section.extractor,
+        max_workers=section.max_workers,
+        device=section.device,
+        default_slide_mpp=section.default_slide_mpp,
+        brightness_cutoff=section.brightness_cutoff,
+        canny_cutoff=section.canny_cutoff,
+        cache_tiles_ext=section.cache_tiles_ext,
+        generate_hash=section.generate_hash,
+        macenko_normalization=section.macenko_normalization,
+    )
+
+
+def _run_encode_slides(config: Any, section: Any) -> None:
+    from stamp_tpu.encoding.init import init_slide_encoder_
+
+    init_slide_encoder_(
+        encoder=section.encoder,
+        output_dir=section.output_dir,
+        feat_dir=section.feat_dir,
+        device=section.device,
+        agg_feat_dir=section.agg_feat_dir,
+        generate_hash=section.generate_hash,
+    )
+
+
+def _run_encode_patients(config: Any, section: Any) -> None:
+    from stamp_tpu.encoding.init import init_patient_encoder_
+
+    init_patient_encoder_(
+        encoder=section.encoder,
+        output_dir=section.output_dir,
+        feat_dir=section.feat_dir,
+        slide_table_path=section.slide_table,
+        patient_label=section.patient_label,
+        filename_label=section.filename_label,
+        device=section.device,
+        agg_feat_dir=section.agg_feat_dir,
+        generate_hash=section.generate_hash,
+    )
+
+
+def _run_train(config: Any, section: Any) -> None:
+    from stamp_tpu.modeling.train import train_categorical_model_
+
+    if section.task is None:
+        raise ValueError("task must be set in training configuration")
+    assert config.advanced_config is not None
+    train_categorical_model_(config=section, advanced=config.advanced_config)
+
+
+def _run_crossval(config: Any, section: Any) -> None:
+    from stamp_tpu.modeling.crossval import categorical_crossval_
+
+    if section.task is None:
+        raise ValueError("task must be set in crossval configuration")
+    assert config.advanced_config is not None
+    categorical_crossval_(config=section, advanced=config.advanced_config)
+
+
+def _run_deploy(config: Any, section: Any) -> None:
+    from stamp_tpu.modeling.deploy import deploy_categorical_model_
+
+    deploy_categorical_model_(
+        output_dir=section.output_dir,
+        checkpoint_paths=section.checkpoint_paths,
+        clini_table=section.clini_table,
+        slide_table=section.slide_table,
+        feature_dir=section.feature_dir,
+        patient_label=section.patient_label,
+        filename_label=section.filename_label,
+        drop_patients_with_missing_ground_truth=(
+            section.drop_patients_with_missing_ground_truth
+        ),
+        num_workers=section.num_workers,
+        accelerator=section.accelerator,
+        ground_truth_label=section.ground_truth_label,
+        time_label=section.time_label,
+        status_label=section.status_label,
+    )
+
+
+def _run_statistics(config: Any, section: Any) -> None:
+    from stamp_tpu.statistics import compute_stats_
+
+    compute_stats_(
+        task=section.task,
+        output_dir=section.output_dir,
+        pred_csvs=section.pred_csvs,
+        ground_truth_label=section.ground_truth_label,
+        true_class=section.true_class,
+        time_label=section.time_label,
+        status_label=section.status_label,
+    )
+
+
+def _run_heatmaps(config: Any, section: Any) -> None:
+    from stamp_tpu.heatmaps.generate import heatmaps_
+
+    heatmaps_(
+        feature_dir=section.feature_dir,
+        wsi_dir=section.wsi_dir,
+        checkpoint_path=section.checkpoint_path,
+        output_dir=section.output_dir,
+        slide_paths=section.slide_paths,
+        device=section.device,
+        topk=section.topk,
+        bottomk=section.bottomk,
+        default_slide_mpp=section.default_slide_mpp,
+        opacity=section.opacity,
+    )
+
+
+@dataclass(frozen=True)
+class _Command:
+    help: str
+    section: str | None = None  # StampConfig attribute holding the sub-config
+    section_noun: str | None = None  # for the "no … configuration supplied" error
+    device_field: str | None = None  # section attribute naming the device
+    needs_advanced: bool = False  # default AdvancedConfig if absent
+    run: Callable[[Any, Any], None] | None = None
+
+
+_COMMANDS: dict[str, _Command] = {
+    "init": _Command(
+        help="Create a new STAMP configuration file at the path specified by --config",
+    ),
+    "preprocess": _Command(
+        help="Preprocess whole-slide images into feature vectors",
+        section="preprocessing",
+        section_noun="preprocessing",
+        device_field="device",
+        run=_run_preprocess,
+    ),
+    "encode_slides": _Command(
+        help="Encode patch-level features into slide-level embeddings",
+        section="slide_encoding",
+        section_noun="slide encoding",
+        device_field="device",
+        run=_run_encode_slides,
+    ),
+    "encode_patients": _Command(
+        help="Encode features into patient-level embeddings",
+        section="patient_encoding",
+        section_noun="patient encoding",
+        device_field="device",
+        run=_run_encode_patients,
+    ),
+    "train": _Command(
+        help="Train a Vision Transformer model",
+        section="training",
+        section_noun="training",
+        needs_advanced=True,
+        run=_run_train,
+    ),
+    "crossval": _Command(
+        help="Train a Vision Transformer model with cross validation for "
+        "modeling.n_splits folds",
+        section="crossval",
+        section_noun="crossval",
+        needs_advanced=True,
+        run=_run_crossval,
+    ),
+    "deploy": _Command(
+        help="Deploy a trained Vision Transformer model",
+        section="deployment",
+        section_noun="deployment",
+        device_field="accelerator",
+        run=_run_deploy,
+    ),
+    "statistics": _Command(
+        help="Generate AUROCs and AUPRCs with 95%%CI for a trained Vision "
+        "Transformer model",
+        section="statistics",
+        section_noun="statistics",
+        run=_run_statistics,
+    ),
+    "config": _Command(help="Print the loaded configuration"),
+    "heatmaps": _Command(
+        help="Generate heatmaps for a trained model",
+        section="heatmaps",
+        section_noun="heatmaps",
+        device_field="device",
+        run=_run_heatmaps,
+    ),
+}
+
+
+def _requested_device(config: Any, command: _Command) -> str | None:
+    """The device/accelerator the user asked this command to run on."""
+    if command.needs_advanced:
+        return getattr(config.advanced_config, "accelerator", None)
+    if command.section and command.device_field:
+        section = getattr(config, command.section, None)
+        return getattr(section, command.device_field, None)
+    return None
+
+
 def _run_cli(args: argparse.Namespace) -> None:
+    command = _COMMANDS[args.command]
+
     if args.command == "init":
         _create_config_file(args.config_file_path)
         return
@@ -71,226 +289,35 @@ def _run_cli(args: argparse.Namespace) -> None:
     with open(args.config_file_path, "r") as config_yaml:
         config = StampConfig.model_validate(yaml.safe_load(config_yaml))
 
-    if args.command in {"train", "crossval"}:
-        if config.advanced_config is None:
-            config.advanced_config = AdvancedConfig(
-                model_params=ModelParams(vit=VitModelParams(), mlp=MlpModelParams()),
-            )
-
+    if command.needs_advanced and config.advanced_config is None:
+        config.advanced_config = AdvancedConfig(
+            model_params=ModelParams(vit=VitModelParams(), mlp=MlpModelParams()),
+        )
     if config.advanced_config is not None and config.advanced_config.seed is not None:
         Seed.set(config.advanced_config.seed)
 
-    # When the command's device/accelerator is explicitly "cpu", pin the jax
-    # platform before any backend initializes — skips the TPU claim entirely.
-    _device_pref = {
-        "preprocess": getattr(config.preprocessing, "device", None),
-        "encode_slides": getattr(config.slide_encoding, "device", None),
-        "encode_patients": getattr(config.patient_encoding, "device", None),
-        "train": getattr(config.advanced_config, "accelerator", None),
-        "crossval": getattr(config.advanced_config, "accelerator", None),
-        "deploy": getattr(config.deployment, "accelerator", None),
-        "heatmaps": getattr(config.heatmaps, "device", None),
-    }.get(args.command)
-    if _device_pref == "cpu":
+    # When the command is explicitly pinned to the CPU, fix the jax platform
+    # before any backend initializes — skips the TPU claim entirely.
+    if _requested_device(config, command) == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    match args.command:
-        case "init":
-            raise RuntimeError("this case should be handled above")
+    if args.command == "config":
+        print(yaml.dump(config.model_dump(mode="json", exclude_none=True)))
+        return
 
-        case "config":
-            print(yaml.dump(config.model_dump(mode="json", exclude_none=True)))
+    assert command.section is not None and command.run is not None
+    section = getattr(config, command.section)
+    if section is None:
+        raise ValueError(f"no {command.section_noun} configuration supplied")
 
-        case "preprocess":
-            from stamp_tpu.preprocessing.extract import extract_
-
-            if config.preprocessing is None:
-                raise ValueError("no preprocessing configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.preprocessing.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.preprocessing.model_dump(mode='json', exclude_none=True))}"
-            )
-            extract_(
-                output_dir=config.preprocessing.output_dir,
-                wsi_dir=config.preprocessing.wsi_dir,
-                wsi_list=config.preprocessing.wsi_list,
-                cache_dir=config.preprocessing.cache_dir,
-                tile_size_um=config.preprocessing.tile_size_um,
-                tile_size_px=config.preprocessing.tile_size_px,
-                extractor=config.preprocessing.extractor,
-                max_workers=config.preprocessing.max_workers,
-                device=config.preprocessing.device,
-                default_slide_mpp=config.preprocessing.default_slide_mpp,
-                brightness_cutoff=config.preprocessing.brightness_cutoff,
-                canny_cutoff=config.preprocessing.canny_cutoff,
-                cache_tiles_ext=config.preprocessing.cache_tiles_ext,
-                generate_hash=config.preprocessing.generate_hash,
-                macenko_normalization=config.preprocessing.macenko_normalization,
-            )
-
-        case "encode_slides":
-            from stamp_tpu.encoding.init import init_slide_encoder_
-
-            if config.slide_encoding is None:
-                raise ValueError("no slide encoding configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.slide_encoding.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.slide_encoding.model_dump(mode='json', exclude_none=True))}"
-            )
-            init_slide_encoder_(
-                encoder=config.slide_encoding.encoder,
-                output_dir=config.slide_encoding.output_dir,
-                feat_dir=config.slide_encoding.feat_dir,
-                device=config.slide_encoding.device,
-                agg_feat_dir=config.slide_encoding.agg_feat_dir,
-                generate_hash=config.slide_encoding.generate_hash,
-            )
-
-        case "encode_patients":
-            from stamp_tpu.encoding.init import init_patient_encoder_
-
-            if config.patient_encoding is None:
-                raise ValueError("no patient encoding configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.patient_encoding.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.patient_encoding.model_dump(mode='json', exclude_none=True))}"
-            )
-            init_patient_encoder_(
-                encoder=config.patient_encoding.encoder,
-                output_dir=config.patient_encoding.output_dir,
-                feat_dir=config.patient_encoding.feat_dir,
-                slide_table_path=config.patient_encoding.slide_table,
-                patient_label=config.patient_encoding.patient_label,
-                filename_label=config.patient_encoding.filename_label,
-                device=config.patient_encoding.device,
-                agg_feat_dir=config.patient_encoding.agg_feat_dir,
-                generate_hash=config.patient_encoding.generate_hash,
-            )
-
-        case "train":
-            from stamp_tpu.modeling.train import train_categorical_model_
-
-            if config.training is None:
-                raise ValueError("no training configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.training.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.training.model_dump(mode='json', exclude_none=True))}"
-            )
-            if config.training.task is None:
-                raise ValueError("task must be set in training configuration")
-
-            assert config.advanced_config is not None
-            train_categorical_model_(
-                config=config.training, advanced=config.advanced_config
-            )
-
-        case "deploy":
-            from stamp_tpu.modeling.deploy import deploy_categorical_model_
-
-            if config.deployment is None:
-                raise ValueError("no deployment configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.deployment.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.deployment.model_dump(mode='json', exclude_none=True))}"
-            )
-            deploy_categorical_model_(
-                output_dir=config.deployment.output_dir,
-                checkpoint_paths=config.deployment.checkpoint_paths,
-                clini_table=config.deployment.clini_table,
-                slide_table=config.deployment.slide_table,
-                feature_dir=config.deployment.feature_dir,
-                patient_label=config.deployment.patient_label,
-                filename_label=config.deployment.filename_label,
-                drop_patients_with_missing_ground_truth=(
-                    config.deployment.drop_patients_with_missing_ground_truth
-                ),
-                num_workers=config.deployment.num_workers,
-                accelerator=config.deployment.accelerator,
-                ground_truth_label=config.deployment.ground_truth_label,
-                time_label=config.deployment.time_label,
-                status_label=config.deployment.status_label,
-            )
-
-        case "crossval":
-            from stamp_tpu.modeling.crossval import categorical_crossval_
-
-            if config.crossval is None:
-                raise ValueError("no crossval configuration supplied")
-            if config.crossval.task is None:
-                raise ValueError("task must be set in crossval configuration")
-
-            _add_file_handle_(_logger, output_dir=config.crossval.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.crossval.model_dump(mode='json', exclude_none=True))}"
-            )
-            assert config.advanced_config is not None
-            categorical_crossval_(
-                config=config.crossval,
-                advanced=config.advanced_config,
-            )
-
-        case "statistics":
-            from stamp_tpu.statistics import compute_stats_
-
-            if config.statistics is None:
-                raise ValueError("no statistics configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.statistics.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.statistics.model_dump(mode='json', exclude_none=True))}"
-            )
-            compute_stats_(
-                task=config.statistics.task,
-                output_dir=config.statistics.output_dir,
-                pred_csvs=config.statistics.pred_csvs,
-                ground_truth_label=config.statistics.ground_truth_label,
-                true_class=config.statistics.true_class,
-                time_label=config.statistics.time_label,
-                status_label=config.statistics.status_label,
-            )
-
-        case "heatmaps":
-            from stamp_tpu.heatmaps.generate import heatmaps_
-
-            if config.heatmaps is None:
-                raise ValueError("no heatmaps configuration supplied")
-
-            _add_file_handle_(_logger, output_dir=config.heatmaps.output_dir)
-            _logger.info(
-                "using the following configuration:\n"
-                f"{yaml.dump(config.heatmaps.model_dump(mode='json'))}"
-            )
-            heatmaps_(
-                feature_dir=config.heatmaps.feature_dir,
-                wsi_dir=config.heatmaps.wsi_dir,
-                checkpoint_path=config.heatmaps.checkpoint_path,
-                output_dir=config.heatmaps.output_dir,
-                slide_paths=config.heatmaps.slide_paths,
-                device=config.heatmaps.device,
-                topk=config.heatmaps.topk,
-                bottomk=config.heatmaps.bottomk,
-                default_slide_mpp=config.heatmaps.default_slide_mpp,
-                opacity=config.heatmaps.opacity,
-            )
-
-        case _:
-            raise RuntimeError(
-                "unreachable: the argparser should only allow valid commands"
-            )
+    _add_file_handle_(_logger, output_dir=section.output_dir)
+    _logger.info(
+        "using the following configuration:\n"
+        f"{yaml.dump(section.model_dump(mode='json', exclude_none=True))}"
+    )
+    command.run(config, section)
 
 
 def main() -> None:
@@ -308,34 +335,9 @@ def main() -> None:
         help="Path to config file. Default: config.yaml",
     )
 
-    commands = parser.add_subparsers(dest="command")
-    commands.add_parser(
-        "init",
-        help="Create a new STAMP configuration file at the path specified by --config",
-    )
-    commands.add_parser(
-        "preprocess", help="Preprocess whole-slide images into feature vectors"
-    )
-    commands.add_parser(
-        "encode_slides", help="Encode patch-level features into slide-level embeddings"
-    )
-    commands.add_parser(
-        "encode_patients", help="Encode features into patient-level embeddings"
-    )
-    commands.add_parser("train", help="Train a Vision Transformer model")
-    commands.add_parser(
-        "crossval",
-        help="Train a Vision Transformer model with cross validation for "
-        "modeling.n_splits folds",
-    )
-    commands.add_parser("deploy", help="Deploy a trained Vision Transformer model")
-    commands.add_parser(
-        "statistics",
-        help="Generate AUROCs and AUPRCs with 95%%CI for a trained Vision "
-        "Transformer model",
-    )
-    commands.add_parser("config", help="Print the loaded configuration")
-    commands.add_parser("heatmaps", help="Generate heatmaps for a trained model")
+    subparsers = parser.add_subparsers(dest="command")
+    for name, command in _COMMANDS.items():
+        subparsers.add_parser(name, help=command.help)
 
     args = parser.parse_args()
 

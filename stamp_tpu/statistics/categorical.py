@@ -1,129 +1,101 @@
-"""Statistics for categorical deployments (behavioral port of reference
-statistics/categorical.py): per-class one-vs-all AUROC / AUPRC / F1 / t-test p
-per fold, Student-t 95% CI aggregation across folds."""
+"""Classification report tables.
+
+Output-file parity with the reference categorical statistics
+(reference: src/stamp/statistics/categorical.py — per-fold one-vs-rest
+score tables plus a Student-t aggregate across folds), rebuilt on the pure
+scorers in ``core.py``.  One behavioural refinement: a single fold yields a
+CI collapsed onto the mean instead of NaN bounds.
+"""
+
+from __future__ import annotations
 
 from collections.abc import Sequence
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
-import scipy.stats as st
-from sklearn import metrics
 
-_score_labels = [
-    "roc_auc_score",
-    "average_precision_score",
-    "f1_score",
-    "p_value",
-    "count",
-]
+from stamp_tpu.statistics import core
+
+_AGGREGATED_METRICS = ("roc_auc_score", "average_precision_score", "f1_score")
 
 
-def _categorical(preds_df: pd.DataFrame, target_label: str) -> pd.DataFrame:
-    categories = preds_df[target_label].unique()
-    y_true = preds_df[target_label]
-    y_pred = (
-        preds_df[[f"{target_label}_{cat}" for cat in categories]].astype(float).values
+def fold_score_table(preds: pd.DataFrame, target_label: str) -> pd.DataFrame:
+    """One fold's per-class score table, indexed by class."""
+    classes = np.sort(preds[target_label].unique())
+    probabilities = (
+        preds[[f"{target_label}_{c}" for c in classes]].astype(float).to_numpy()
     )
-
-    stats_df = pd.DataFrame(index=categories)
-    stats_df["count"] = y_true.value_counts()
-    stats_df["roc_auc_score"] = [
-        metrics.roc_auc_score(y_true == cat, y_pred[:, i])
-        for i, cat in enumerate(categories)
-    ]
-    stats_df["average_precision_score"] = [
-        metrics.average_precision_score(y_true == cat, y_pred[:, i])
-        for i, cat in enumerate(categories)
-    ]
-    y_pred_labels = categories[y_pred.argmax(axis=1)]
-    stats_df["f1_score"] = [
-        metrics.f1_score(y_true == cat, y_pred_labels == cat) for cat in categories
-    ]
-    p_values = []
-    for i, cat in enumerate(categories):
-        pos_scores = y_pred[:, i][y_true == cat]
-        neg_scores = y_pred[:, i][y_true != cat]
-        _, p_value = st.ttest_ind(pos_scores, neg_scores)
-        p_values.append(p_value)
-    stats_df["p_value"] = p_values
-
-    assert set(_score_labels) & set(stats_df.columns) == set(_score_labels)
-    return stats_df
+    scores = core.one_vs_rest_scores(
+        preds[target_label].to_numpy(), probabilities, classes
+    )
+    return pd.DataFrame.from_dict(scores, orient="index")[list(core.SCORE_COLUMNS)]
 
 
-def _aggregate_categorical_stats(df: pd.DataFrame) -> pd.DataFrame:
-    stats = {}
-    for cat, data in df.groupby("level_1"):
-        scores_df = data[["roc_auc_score", "average_precision_score", "f1_score"]]
-        means, sems = scores_df.mean(), scores_df.sem()
-        lower, upper = st.t.interval(0.95, df=len(scores_df) - 1, loc=means, scale=sems)
-        cat_stats_df = (
-            pd.DataFrame.from_dict({"mean": means, "95%_low": lower, "95%_high": upper})
-            .transpose()
-            .unstack()
-        )
-        cat_stats_df[("count", "sum")] = data["count"].sum()
-        stats[cat] = cat_stats_df
-    return pd.DataFrame.from_dict(stats, orient="index")
+def aggregate_over_folds(per_fold: pd.DataFrame) -> pd.DataFrame:
+    """Collapse a (fold, class)-indexed score table to one row per class.
 
-
-def categorical_aggregated_(
-    *, preds_csvs: Sequence[Path], outpath: Path, ground_truth_label: str
-) -> None:
-    preds_dfs = {}
-    for p in preds_csvs:
-        df = pd.read_csv(p, dtype=str).dropna(subset=[ground_truth_label])
-        if len(df) > 0:
-            preds_dfs[Path(p).parent.name] = _categorical(df, ground_truth_label)
-
-    if not preds_dfs:
-        raise ValueError(
-            "No classification rows with ground truth available for statistics."
-        )
-
-    preds_df = pd.concat(preds_dfs).sort_index()
-    preds_df.to_csv(outpath / f"{ground_truth_label}_categorical-stats_individual.csv")
-    stats_df = _aggregate_categorical_stats(preds_df.reset_index())
-    stats_df.to_csv(outpath / f"{ground_truth_label}_categorical-stats_aggregated.csv")
-
-
-def categorical_aggregated_multitarget_(
-    *,
-    preds_csvs: Sequence[Path],
-    outpath: Path,
-    target_labels: Sequence[str],
-) -> None:
-    outpath.mkdir(parents=True, exist_ok=True)
-
-    all_target_stats = {}
-    csv_cache: dict[str, pd.DataFrame] = {
-        Path(p).parent.name: pd.read_csv(p, dtype=str) for p in preds_csvs
-    }
-
-    for target_label in target_labels:
-        preds_dfs = {}
-        for fold_name, df in csv_cache.items():
-            df_clean = df.dropna(subset=[target_label])
-            if len(df_clean) > 0:
-                preds_dfs[fold_name] = _categorical(df_clean, target_label)
-
-        if not preds_dfs:
-            continue
-
-        preds_df = pd.concat(preds_dfs).sort_index()
-        preds_df.to_csv(outpath / f"{target_label}_categorical-stats_individual.csv")
-        stats_df = _aggregate_categorical_stats(preds_df.reset_index())
-        stats_df.to_csv(outpath / f"{target_label}_categorical-stats_aggregated.csv")
-        all_target_stats[target_label] = stats_df
-
-    if all_target_stats:
-        summary_dfs = []
-        for target_name, stats_df in all_target_stats.items():
-            stats_copy = stats_df.copy()
-            stats_copy.index = pd.MultiIndex.from_product(
-                [[target_name], stats_copy.index], names=["target", "class"]
+    Columns are a (metric, statistic) MultiIndex — mean and 95% Student-t
+    bounds per metric, plus the total sample count.
+    """
+    rows: dict[str, dict[tuple[str, str], float]] = {}
+    for cls, fold_scores in per_fold.groupby(level=1):
+        row: dict[tuple[str, str], float] = {}
+        for metric in _AGGREGATED_METRICS:
+            mean, lower, upper = core.students_t_ci(
+                fold_scores[metric].to_numpy(dtype=float)
             )
-            summary_dfs.append(stats_copy)
-        pd.concat(summary_dfs).to_csv(
-            outpath / "multitarget_categorical-stats_summary.csv"
+            row[(metric, "mean")] = mean
+            row[(metric, "95%_low")] = lower
+            row[(metric, "95%_high")] = upper
+        row[("count", "sum")] = fold_scores["count"].astype(float).sum()
+        rows[str(cls)] = row
+    return pd.DataFrame.from_dict(rows, orient="index")
+
+
+def write_classification_tables(
+    fold_tables: dict[str, pd.DataFrame],
+    *,
+    output_dir: Path,
+    target_label: str,
+) -> pd.DataFrame:
+    """Write the individual and aggregated CSVs for one target; returns the
+    aggregate (used for the multi-target summary)."""
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    individual = pd.concat(fold_tables).sort_index()
+    individual.to_csv(output_dir / f"{target_label}_categorical-stats_individual.csv")
+
+    aggregated = aggregate_over_folds(individual)
+    aggregated.to_csv(output_dir / f"{target_label}_categorical-stats_aggregated.csv")
+    return aggregated
+
+
+def write_multitarget_summary(
+    aggregates: dict[str, pd.DataFrame], *, output_dir: Path
+) -> None:
+    """One summary CSV stacking every target's aggregate table
+    (reference categorical.py:119-129)."""
+    if not aggregates:
+        return
+    stacked = []
+    for target, table in aggregates.items():
+        table = table.copy()
+        table.index = pd.MultiIndex.from_product(
+            [[target], table.index], names=["target", "class"]
         )
+        stacked.append(table)
+    pd.concat(stacked).to_csv(output_dir / "multitarget_categorical-stats_summary.csv")
+
+
+def load_fold_tables(
+    pred_csvs: Sequence[Path], target_label: str
+) -> dict[str, pd.DataFrame]:
+    """Per-fold score tables keyed by the CSV's parent directory name,
+    skipping folds with no usable ground truth."""
+    tables: dict[str, pd.DataFrame] = {}
+    for csv in pred_csvs:
+        preds = pd.read_csv(csv, dtype=str).dropna(subset=[target_label])
+        if len(preds):
+            tables[Path(csv).parent.name] = fold_score_table(preds, target_label)
+    return tables
