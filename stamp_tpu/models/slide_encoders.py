@@ -1,0 +1,363 @@
+"""Slide-encoder architectures: TITAN, GigaPath LongNet, PRISM, COBRA,
+MADELEINE.
+
+The reference consumes these as opaque upstream packages / HF
+``trust_remote_code`` models (reference encoding/encoder/{titan,gigapath,
+prism,cobra,madeleine}.py); in a zero-egress environment the architectures
+are re-implemented here TPU-first from their publications:
+
+* TITAN  (Ding et al. 2024)  — ViT over CONCH1.5 patch features on the tile
+  grid with 2-D ALiBi distance bias; CLS-token slide embedding (768-d).
+* GigaPath slide encoder (Xu et al. 2024) — LongNetViT: 12 layers / 768-d
+  dilated attention (ops/dilated_attention.py) over tile embeddings with
+  coordinate sin-cos position embeddings; mean-pooled output.
+* PRISM  (Shaikovski et al. 2024) — Perceiver resampler: learned latents
+  cross-attend to Virchow-full tile embeddings; mean latent = 1280-d
+  ``image_embedding``.
+* COBRA  (Lenz, Neidlinger et al. 2024) — Mamba2 mixer (ops/ssd.py) over
+  projected tile features + gated-attention pooling; returns the
+  attention-weighted average of the *raw* input features, so the output
+  dimension follows the tile extractor.
+* MADELEINE (Jaume et al. 2024) — multi-head gated-attention MIL over CONCH
+  features with a post-attention projection (512-d).
+
+Weight porting: each architecture keeps a flat, explicitly-named parameter
+tree so a converter can map the upstream state dict 1:1 once the (gated)
+weights are available; random-weight smoke tests cover the architecture
+until then.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stamp_tpu.ops.dilated_attention import dilated_attention
+from stamp_tpu.ops.ssd import Mamba2Block
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+
+def alibi_slopes(num_heads: int) -> np.ndarray:
+    """Geometric ALiBi head slopes 2^(-8i/H) (Press et al. 2022)."""
+    return np.asarray(
+        [2.0 ** (-8.0 * (i + 1) / num_heads) for i in range(num_heads)],
+        dtype=np.float32,
+    )
+
+
+class _BiasedAttention(nn.Module):
+    """Standard multi-head attention with an optional additive logit bias."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q * head_dim**-0.5,
+            k,
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class _TransformerBlock(nn.Module):
+    """Pre-LN block: biased attention + GELU MLP."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + _BiasedAttention(self.dim, self.num_heads, name="attn")(h, bias)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(self.dim, name="fc2")(h)
+
+
+# ---------------------------------------------------------------------------
+# TITAN
+# ---------------------------------------------------------------------------
+
+
+class TitanViT(nn.Module):
+    """TITAN vision encoder: ViT over patch features with 2-D ALiBi.
+
+    The attention logits of head h get a ``−slope_h · d(i, j)`` penalty where
+    d is the Euclidean distance between tiles in grid units — translation
+    invariant and extrapolates to arbitrary slide extents.  The CLS token
+    attends without penalty.
+    """
+
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, grid_coords: jax.Array) -> jax.Array:
+        """feats: [N, dim] patch features; grid_coords: [N, 2] integer grid.
+
+        Returns the [dim] slide embedding.
+        """
+        x = nn.Dense(self.dim, name="patch_embed")(feats)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, self.dim))
+        x = jnp.concatenate([cls, x], axis=0)[None]  # [1, N+1, dim]
+
+        # 2-D ALiBi bias: [H, N+1, N+1]; row/col 0 (CLS) unpenalised
+        coords = grid_coords.astype(jnp.float32)
+        delta = coords[:, None, :] - coords[None, :, :]
+        dist = jnp.sqrt((delta**2).sum(-1) + 1e-12)  # [N, N]
+        dist = jnp.pad(dist, ((1, 0), (1, 0)))  # CLS row/col = 0
+        slopes = jnp.asarray(alibi_slopes(self.num_heads))
+        bias = -slopes[:, None, None] * dist[None]  # [H, N+1, N+1]
+        bias = bias[None]  # [1, H, N+1, N+1]
+
+        for i in range(self.depth):
+            x = _TransformerBlock(self.dim, self.num_heads, name=f"block_{i}")(
+                x, bias
+            )
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[0, 0]  # CLS
+
+
+# ---------------------------------------------------------------------------
+# GigaPath slide encoder (LongNetViT)
+# ---------------------------------------------------------------------------
+
+
+def sincos_position_embedding(coords: jax.Array, dim: int) -> jax.Array:
+    """2-D sin-cos position embedding from continuous tile coordinates.
+
+    Half the channels encode x, half y, each with geometrically spaced
+    frequencies (the ViT/MAE convention, applied to real coordinates instead
+    of grid indices).
+    """
+    half = dim // 2
+    quarter = half // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(quarter, dtype=jnp.float32) / quarter))
+
+    def encode(pos):  # [N] -> [N, half]
+        angles = pos[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+
+    return jnp.concatenate([encode(coords[:, 0]), encode(coords[:, 1])], axis=-1)
+
+
+class _LongNetBlock(nn.Module):
+    dim: int
+    num_heads: int
+    segment_lengths: tuple[int, ...]
+    dilation_rates: tuple[int, ...]
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [N, dim]
+        n = x.shape[0]
+        head_dim = self.dim // self.num_heads
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        qkv = nn.Dense(3 * self.dim, name="qkv")(h)
+        qkv = qkv.reshape(n, 3, self.num_heads, head_dim).transpose(1, 2, 0, 3)
+        out = dilated_attention(
+            qkv[0],
+            qkv[1],
+            qkv[2],
+            segment_lengths=self.segment_lengths,
+            dilation_rates=self.dilation_rates,
+        )  # [H, N, head_dim]
+        out = out.transpose(1, 0, 2).reshape(n, self.dim)
+        x = x + nn.Dense(self.dim, name="proj")(out)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(self.dim, name="fc2")(h)
+
+
+class LongNetViT(nn.Module):
+    """GigaPath slide encoder: dilated-attention ViT over tile embeddings.
+
+    ``gigapath_slide_enc12l768d``: input 1536-d tile features, 12 layers,
+    768-d, coordinate sin-cos position embeddings, mean-pooled output
+    (``global_pool=True`` in reference encoding/encoder/gigapath.py:33-38).
+    """
+
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    segment_lengths: tuple[int, ...] = (128, 512, 2048, 8192)
+    dilation_rates: tuple[int, ...] = (1, 2, 4, 8)
+    tile_size_px: float = 256.0
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, coords_px: jax.Array) -> jax.Array:
+        """feats: [N, 1536]; coords_px: [N, 2] pixel coordinates → [dim]."""
+        x = nn.Dense(self.dim, name="patch_embed")(feats)
+        x = x + sincos_position_embedding(
+            coords_px.astype(jnp.float32) / self.tile_size_px, self.dim
+        ).astype(x.dtype)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, self.dim))
+        x = jnp.concatenate([cls, x], axis=0)
+
+        for i in range(self.depth):
+            x = _LongNetBlock(
+                self.dim,
+                self.num_heads,
+                self.segment_lengths,
+                self.dilation_rates,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[1:].mean(axis=0)  # global average pool over patch tokens
+
+
+# ---------------------------------------------------------------------------
+# PRISM (Perceiver resampler)
+# ---------------------------------------------------------------------------
+
+
+class PrismPerceiver(nn.Module):
+    """PRISM slide encoder: latents cross-attend to tile embeddings.
+
+    Virchow-full 2560-d tile embeddings → ``dim``-d latent space; repeated
+    [cross-attention → latent self-attention] blocks; the mean latent is the
+    ``image_embedding`` the reference reads from ``slide_representations``
+    (reference encoding/encoder/prism.py:27-37).
+    """
+
+    dim: int = 1280
+    input_dim: int = 2560
+    num_latents: int = 512
+    depth: int = 8
+    num_heads: int = 16
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:  # [N, 2560] -> [dim]
+        kv = nn.Dense(self.dim, name="input_proj")(feats)[None]  # [1, N, dim]
+
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02), (self.num_latents, self.dim)
+        )
+        x = latents[None]  # [1, L, dim]
+
+        head_dim = self.dim // self.num_heads
+        for i in range(self.depth):
+            # cross-attention: latents ← tiles
+            h = nn.LayerNorm(epsilon=1e-6, name=f"cross_norm_{i}")(x)
+            q = nn.Dense(self.dim, name=f"cross_q_{i}")(h)
+            k = nn.Dense(self.dim, name=f"cross_k_{i}")(kv)
+            v = nn.Dense(self.dim, name=f"cross_v_{i}")(kv)
+
+            def split(t):
+                return t.reshape(1, -1, self.num_heads, head_dim).transpose(
+                    0, 2, 1, 3
+                )
+
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk",
+                split(q) * head_dim**-0.5,
+                split(k),
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, split(v))
+            out = out.transpose(0, 2, 1, 3).reshape(1, -1, self.dim)
+            x = x + nn.Dense(self.dim, name=f"cross_proj_{i}")(out)
+
+            # latent self-attention + MLP
+            x = _TransformerBlock(self.dim, self.num_heads, name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[0].mean(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# COBRA (Mamba2 + gated-attention pooling)
+# ---------------------------------------------------------------------------
+
+
+class CobraNet(nn.Module):
+    """COBRA slide aggregator: Mamba2 mixer → gated attention → weighted
+    average of the *raw* tile features.
+
+    COBRA-II accepts tiles from several extractors (CONCH 512 / UNI 1024 /
+    H-Optimus-0 1536 / Virchow2 2560 — reference encoding/encoder/
+    cobra.py:36-44); one input projection per dimensionality maps into the
+    shared 768-d mixer space, and the output keeps the input's
+    dimensionality because the pooled vector is a weighted sum of the raw
+    input features.
+    """
+
+    d_model: int = 768
+    depth: int = 2
+    input_dims: Sequence[int] = (512, 1024, 1536, 2560)
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:  # [N, D_in] -> [D_in]
+        d_in = feats.shape[-1]
+        if d_in not in self.input_dims:
+            raise ValueError(
+                f"COBRA supports input dims {tuple(self.input_dims)}, got {d_in}"
+            )
+        x = nn.Dense(self.d_model, name=f"embed_{d_in}")(feats)  # [N, 768]
+
+        for i in range(self.depth):
+            h = nn.LayerNorm(epsilon=1e-6, name=f"norm_{i}")(x)
+            x = x + Mamba2Block(self.d_model, name=f"mamba_{i}")(h)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        gate_a = jnp.tanh(nn.Dense(384, name="attn_a")(h))
+        gate_b = jax.nn.sigmoid(nn.Dense(384, name="attn_b")(h))
+        scores = nn.Dense(1, name="attn_c")(gate_a * gate_b)[:, 0]  # [N]
+        weights = jax.nn.softmax(scores)
+        return weights @ feats  # attention-weighted raw features
+
+
+# ---------------------------------------------------------------------------
+# MADELEINE
+# ---------------------------------------------------------------------------
+
+
+class MadeleineNet(nn.Module):
+    """MADELEINE H&E slide encoder: multi-head gated-attention MIL over
+    CONCH features with a post-attention projection (512-d embedding)."""
+
+    dim: int = 512
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:  # [N, 512] -> [512]
+        h = nn.relu(nn.Dense(self.dim, name="pre_proj")(feats))  # [N, dim]
+
+        gate_a = jnp.tanh(nn.Dense(self.dim, name="attn_a")(h))
+        gate_b = jax.nn.sigmoid(nn.Dense(self.dim, name="attn_b")(h))
+        scores = nn.Dense(self.num_heads, name="attn_c")(gate_a * gate_b)  # [N, H]
+        weights = jax.nn.softmax(scores, axis=0)  # over tiles, per head
+
+        head_dim = self.dim // self.num_heads
+        pooled = jnp.einsum(
+            "nh,nhd->hd", weights, h.reshape(-1, self.num_heads, head_dim)
+        ).reshape(self.dim)
+        return nn.Dense(self.dim, name="post_proj")(pooled)

@@ -29,8 +29,13 @@ def _segment_dilated(
     v: jax.Array,
     w: int,
     r: int,
+    n_valid: int,
 ) -> jax.Array:
-    """Dense attention within segments of length w at dilation r."""
+    """Dense attention within segments of length w at dilation r.
+
+    Positions ≥ n_valid are padding: their keys are masked out so real
+    queries never attend to them.
+    """
     h, L, d = q.shape
     assert L % w == 0, "sequence must be padded to a multiple of the segment"
     n_seg = L // w
@@ -47,6 +52,15 @@ def _segment_dilated(
     logits = jnp.einsum(
         "hsrid,hsrjd->hsrij", qg * (d**-0.5), kg, preferred_element_type=jnp.float32
     )
+    if n_valid < L:
+        # global position of regrouped element (s, g, j) = s·w + g + j·r
+        seg = jax.lax.broadcasted_iota(jnp.int32, (n_seg, r, sub), 0)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (n_seg, r, sub), 1)
+        off = jax.lax.broadcasted_iota(jnp.int32, (n_seg, r, sub), 2)
+        pos = seg * w + grp + off * r  # [n_seg, r, sub]
+        logits = jnp.where(
+            (pos < n_valid)[None, :, :, None, :], logits, -1e30
+        )
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("hsrij,hsrjd->hsrid", weights, vg)
 
@@ -63,26 +77,33 @@ def dilated_attention(
     segment_lengths: tuple[int, ...],
     dilation_rates: tuple[int, ...],
 ) -> jax.Array:
-    """Distribute heads across (w, r) configs; pad L to the largest segment."""
+    """Distribute heads across (w, r) configs.
+
+    Each config pads only as far as it needs: a sequence shorter than the
+    configured segment uses one segment rounded up to the dilation group
+    size instead of the full w — the mask semantics (same segment ∧ same
+    sparse group) are unchanged, but a 30-tile slide no longer pays for an
+    8192-token segment.  Padded keys are masked.
+    """
     h, L, d = q.shape
     n_cfg = len(segment_lengths)
     assert len(dilation_rates) == n_cfg
     assert h % n_cfg == 0, "heads must divide evenly across configurations"
     hc = h // n_cfg
 
-    w_max = max(segment_lengths)
-    pad = (-L) % w_max
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
-
     outs = []
     for i, (w, r) in enumerate(zip(segment_lengths, dilation_rates)):
+        unit = r * 8  # keeps sub = w/r integral and sublane-aligned
+        w_eff = min(w, -(-L // unit) * unit)
+        pad = (-L) % w_eff
         sl = slice(i * hc, (i + 1) * hc)
-        outs.append(_segment_dilated(q[sl], k[sl], v[sl], min(w, q.shape[1]), r))
-    out = jnp.concatenate(outs, axis=0)
-    return out[:, :L]
+        qi, ki, vi = q[sl], k[sl], v[sl]
+        if pad:
+            qi = jnp.pad(qi, ((0, 0), (0, pad), (0, 0)))
+            ki = jnp.pad(ki, ((0, 0), (0, pad), (0, 0)))
+            vi = jnp.pad(vi, ((0, 0), (0, pad), (0, 0)))
+        outs.append(_segment_dilated(qi, ki, vi, w_eff, r, L)[:, :L])
+    return jnp.concatenate(outs, axis=0)
 
 
 def dilated_attention_reference(
