@@ -1,0 +1,131 @@
+"""CONCH / CONCH1.5 (CoCa) and MUSK (BEiT3) extractor factories.
+
+Reference behaviors: extractor/conch.py:23-41 (CoCa ``encode_image`` with
+``proj_contrast=False``), extractor/conch1_5.py:13-18 (TITAN's
+``return_conch()`` tower), extractor/musk.py:22-58 (BEiT3 vision path with
+two-scale evaluation).  Architectures live in models/coca.py and
+models/beit3.py; weights are ported from pre-seeded checkpoints or replaced
+by random init under ``STAMP_RANDOM_WEIGHTS=1``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stamp_tpu.models.beit3 import Beit3Config, Beit3VisionTower, multiscale_cls
+from stamp_tpu.models.coca import COCA_CONFIGS, CoCaVisionTower
+from stamp_tpu.preprocessing.extractor import (
+    Extractor,
+    _find_torch_weights,
+    _resize_transform,
+)
+
+_logger = logging.getLogger("stamp")
+
+
+def _bf16_on_device(tree):
+    return jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), tree)
+    )
+
+
+def _random_or_fail(module, example, *, identifier: str, weight_files: list[str]):
+    if os.environ.get("STAMP_RANDOM_WEIGHTS") == "1":
+        _logger.warning(f"{identifier}: using RANDOM weights")
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return module.init(jax.random.PRNGKey(0), example)
+    path = _find_torch_weights(weight_files)
+    if path is None:
+        raise FileNotFoundError(
+            f"no weights found for extractor '{identifier}' (searched caches "
+            f"for {weight_files}). Pre-seed the checkpoint into ~/.cache/stamp "
+            "or STAMP_WEIGHTS_DIR; set STAMP_RANDOM_WEIGHTS=1 for smoke "
+            "testing without weights."
+        )
+    raise NotImplementedError(
+        f"found weights for '{identifier}' at {path}, but no state-dict "
+        "converter is wired up yet for this architecture."
+    )
+
+
+def _batched(forward_impl, pad_to: int = 4):
+    """Pad small batches to a fixed floor so jit compiles once per bucket."""
+
+    def forward(batch: np.ndarray) -> np.ndarray:
+        n = batch.shape[0]
+        if n < pad_to:
+            batch = np.concatenate(
+                [batch, np.zeros((pad_to - n, *batch.shape[1:]), batch.dtype)]
+            )
+        return forward_impl(jnp.asarray(batch))[:n]
+
+    return forward
+
+
+def make_conch_extractor(identifier: str, variant: str) -> Extractor:
+    """CONCH v1.0 / v1.5 CoCa vision branch."""
+    cfg = COCA_CONFIGS[variant]
+    module = CoCaVisionTower(cfg)
+    variables = _random_or_fail(
+        module,
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+        identifier=identifier,
+        weight_files=(
+            ["*conch*.bin", "*CONCH*.safetensors"]
+            if variant == "conch"
+            else ["*TITAN*.bin", "*conch*1*5*.safetensors"]
+        ),
+    )
+    variables = _bf16_on_device(variables)
+
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
+
+    @jax.jit
+    def _forward_impl(images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) / std
+        return module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    return Extractor(
+        identifier=identifier,
+        input_px=cfg.img_size,
+        feat_dim=cfg.pooled_dim,
+        transform_host=_resize_transform(cfg.img_size),
+        forward=_batched(_forward_impl),
+    )
+
+
+def make_musk_extractor(identifier: str = "musk") -> Extractor:
+    """MUSK BEiT3-L vision path, two-scale (reference musk.py:30-35)."""
+    cfg = Beit3Config()
+    module = Beit3VisionTower(cfg)
+    variables = _random_or_fail(
+        module,
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+        identifier=identifier,
+        weight_files=["*musk*.safetensors", "*MUSK*.pth"],
+    )
+    variables = _bf16_on_device(variables)
+
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
+
+    @jax.jit
+    def _forward_impl(images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) / std
+        return multiscale_cls(module, variables, x.astype(jnp.bfloat16)).astype(
+            jnp.float32
+        )
+
+    return Extractor(
+        identifier=identifier,
+        input_px=cfg.img_size,
+        feat_dim=2 * cfg.width,
+        transform_host=_resize_transform(cfg.img_size),
+        forward=_batched(_forward_impl),
+    )

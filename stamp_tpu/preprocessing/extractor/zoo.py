@@ -3,9 +3,9 @@
 One factory per ``ExtractorName`` (reference preprocessing/__init__.py:137-241
 dispatch).  Most models are instances of the shared ``ImageViT`` with
 per-model configs and weight-file hints; CTransPath/CHIEF use the Swin
-backbone (stamp_tpu/models/swin.py).  Models whose architectures have no JAX
-port yet (CoCa/BEiT3 CLIP-style heads, TICON enc-dec) raise a clear
-NotImplementedError naming the gap.
+backbone (models/swin.py), PLIP/KEEP the CLIP tower (models/clip_vision.py),
+CONCH the CoCa tower (models/coca.py), MUSK the BEiT3 tower
+(models/beit3.py), TICON the contextualizer (extractor/ticon.py).
 """
 
 from __future__ import annotations
@@ -133,25 +133,26 @@ def chief_ctranspath() -> Extractor:
     )
 
 
-def _not_ported(name: str) -> Extractor:
-    raise NotImplementedError(
-        f"extractor '{name}' is not yet ported to the TPU-native zoo "
-        "(CLIP/CoCa/BEiT3-style architectures land in a later milestone); "
-        "extract with the reference implementation or use one of the ported "
-        "ViT extractors."
-    )
-
-
 def conch() -> Extractor:
-    return _not_ported("conch")
+    """CONCH CoCa vision branch, unprojected pooled embedding
+    (reference extractor/conch.py:23-41)."""
+    from stamp_tpu.preprocessing.extractor.coca_beit3 import make_conch_extractor
+
+    return make_conch_extractor("conch", "conch")
 
 
 def conch1_5() -> Extractor:
-    return _not_ported("conch1_5")
+    """CONCH v1.5 — TITAN's tile encoder (reference extractor/conch1_5.py)."""
+    from stamp_tpu.preprocessing.extractor.coca_beit3 import make_conch_extractor
+
+    return make_conch_extractor("conch1_5", "conch1_5")
 
 
 def musk() -> Extractor:
-    return _not_ported("musk")
+    """MUSK BEiT3-L vision path, two-scale (reference extractor/musk.py)."""
+    from stamp_tpu.preprocessing.extractor.coca_beit3 import make_musk_extractor
+
+    return make_musk_extractor("musk")
 
 
 def plip() -> Extractor:

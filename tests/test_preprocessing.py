@@ -208,3 +208,41 @@ def test_native_reader_jpeg2000_svs(tmp_path):
 
     thumb = slide.get_thumbnail((100, 100))
     assert thumb.size == (100, 75)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,feat_dim",
+    [("conch", 512), ("conch1_5", 768), ("musk", 2048)],
+)
+def test_coca_beit3_extractors_forward(monkeypatch, name, feat_dim):
+    """CONCH / CONCH1.5 / MUSK resolve and produce features of the right
+    dimension (reference extractor dims: tests/test_encoders.py:24-31)."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    from stamp_tpu.preprocessing.extractor.zoo import resolve_extractor
+
+    ext = resolve_extractor(name)
+    assert ext.feat_dim == feat_dim
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (2, ext.input_px, ext.input_px, 3), np.uint8)
+    feats = ext.forward(batch)
+    assert feats.shape == (2, feat_dim)
+    assert np.isfinite(feats).all()
+
+
+def test_all_extractor_names_resolve(monkeypatch):
+    """Every ExtractorName has a working factory (no NotImplementedError)."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    from stamp_tpu.preprocessing.config import ExtractorName
+    from stamp_tpu.preprocessing.extractor.zoo import resolve_extractor
+
+    import inspect
+
+    from stamp_tpu.preprocessing.extractor import zoo
+
+    src = inspect.getsource(zoo)
+    assert "NotImplementedError" not in src
+    # spot-instantiate the cheap ones end to end
+    for name in (ExtractorName.EMPTY, ExtractorName.PLIP):
+        ext = resolve_extractor(name)
+        assert ext.identifier == str(name)
