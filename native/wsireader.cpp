@@ -281,10 +281,12 @@ int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
       }
     }
   } else {
-    // Strip-organized TIFF.
+    // Strip-organized TIFF (e.g. Hamamatsu NDPI).
     uint32_t rows_per_strip = 0;
     TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
     if (rows_per_strip == 0) rows_per_strip = (uint32_t)lvl.height;
+    // guard: a single-strip gigapixel level would need an absurd buffer
+    if ((uint64_t)lvl.width * rows_per_strip * 4 > (1ull << 32)) return 6;
     std::vector<uint32_t> strip((size_t)lvl.width * rows_per_strip);
     for (int64_t sy = (y0 / rows_per_strip) * rows_per_strip; sy < y1;
          sy += rows_per_strip) {

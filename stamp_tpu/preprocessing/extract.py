@@ -32,7 +32,11 @@ from stamp_tpu.preprocessing.tiling import (
     get_slide_mpp_,
     tiles_with_cache,
 )
-from stamp_tpu.preprocessing.wsi import open_slide
+from stamp_tpu.preprocessing.wsi import (
+    UNSUPPORTED_CONTAINER_SUFFIXES,
+    UnsupportedFormatError,
+    open_slide,
+)
 from stamp_tpu.types import (
     ImageExtension,
     Microns,
@@ -175,6 +179,27 @@ def extract_(
         slide_paths = [
             p for ext in supported_extensions for p in wsi_dir.glob(f"**/*{ext}")
         ]
+
+    # Fail fast (per slide, with a named error) on vendor containers the
+    # native reader does not implement, instead of a cryptic decode failure
+    # deep in the tiling stage.
+    unsupported = [
+        p for p in slide_paths
+        if p.suffix.lower() in UNSUPPORTED_CONTAINER_SUFFIXES
+    ]
+    if unsupported:
+        _logger.error(
+            f"skipping {len(unsupported)} slide(s) in unsupported container "
+            f"formats {sorted({p.suffix.lower() for p in unsupported})}: "
+            f"{[p.name for p in unsupported]} — convert to pyramidal "
+            "TIFF/SVS or extract them with the reference pipeline."
+        )
+        slide_paths = [p for p in slide_paths if p not in set(unsupported)]
+    if not slide_paths:
+        raise UnsupportedFormatError(
+            f"no readable slides found in {wsi_dir} (all candidates were in "
+            "unsupported container formats or none matched)"
+        )
 
     # Shuffle so concurrent jobs on a shared filesystem interleave
     # (reference preprocessing/__init__.py:269-273).

@@ -40,6 +40,23 @@ class MPPExtractionError(Exception):
     """Raised when the MPP extraction from the slide's metadata fails."""
 
 
+class UnsupportedFormatError(Exception):
+    """Raised for WSI container formats the native reader cannot decode.
+
+    The reference opens 12 formats through OpenSlide (reference
+    preprocessing/__init__.py:43-56); the TPU-native reader covers the
+    TIFF family (SVS incl. JPEG2000, generic pyramidal TIFF, NDPI, QPTIFF,
+    BIF, SCN) plus anything PIL can open.  MIRAX (.mrxs), Zeiss (.czi) and
+    Hamamatsu VMS/VMU are multi-file vendor containers that are not
+    implemented — failing fast with this error beats a cryptic per-slide
+    stack trace.
+    """
+
+
+# multi-file vendor containers the native reader does not implement
+UNSUPPORTED_CONTAINER_SUFFIXES = {".mrxs", ".czi", ".vms", ".vmu"}
+
+
 class ImageSlide:
     """PIL-backed slide for plain images (parity with openslide.ImageSlide)."""
 
@@ -311,8 +328,24 @@ _TIFF_MAGICS = (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+")
 def open_slide(path: Path | str):
     """Open a slide with the best available backend."""
     path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix in UNSUPPORTED_CONTAINER_SUFFIXES:
+        raise UnsupportedFormatError(
+            f"'{suffix}' slides (multi-file vendor container) are not "
+            "supported by the TPU-native reader — convert to pyramidal "
+            "TIFF/SVS, or extract this cohort with the reference pipeline."
+        )
     with open(path, "rb") as fp:
         magic = fp.read(4)
+    if suffix == ".ndpi" and magic in (b"II*\x00", b"MM\x00*"):
+        # Hamamatsu NDPI >4 GiB keeps classic 32-bit TIFF offsets that wrap;
+        # decoding those needs the vendor offset-reconstruction hack.
+        if path.stat().st_size >= 2**32:
+            raise UnsupportedFormatError(
+                f"{path.name}: NDPI file exceeds 4 GiB with classic TIFF "
+                "offsets (vendor offset wrap-around) — not supported by the "
+                "native reader yet."
+            )
     if magic in _TIFF_MAGICS and _load_native() is not None:
         try:
             return CTiffSlide(path)

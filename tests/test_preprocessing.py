@@ -246,3 +246,92 @@ def test_all_extractor_names_resolve(monkeypatch):
     for name in (ExtractorName.EMPTY, ExtractorName.PLIP):
         ext = resolve_extractor(name)
         assert ext.identifier == str(name)
+
+
+def test_ndpi_like_slide_reads_exactly(tmp_path):
+    """A striped JPEG-in-TIFF renamed .ndpi (the Hamamatsu layout) opens via
+    the native reader with cm-resolution MPP and pixel-exact region reads."""
+    from stamp_tpu.preprocessing.wsi import CTiffSlide, get_slide_mpp_, open_slide
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (512, 768, 3)).astype(np.uint8)
+    path = tmp_path / "slide.ndpi"
+    Image.fromarray(arr).save(
+        path,
+        format="TIFF",
+        compression=None,  # lossless so the read-back is exact
+        resolution=10000.0,  # px per cm → 1 µm/px
+        resolution_unit=3,
+    )
+
+    slide = open_slide(path)
+    assert isinstance(slide, CTiffSlide)
+    assert slide.dimensions == (768, 512)
+    mpp = get_slide_mpp_(slide, default_mpp=None)
+    assert abs(mpp - 1.0) < 1e-6
+
+    region = np.asarray(slide.read_region((100, 50), 0, (128, 96)).convert("RGB"))
+    np.testing.assert_array_equal(region, arr[50 : 50 + 96, 100 : 100 + 128])
+
+
+def test_unsupported_container_raises_named_error(tmp_path):
+    from stamp_tpu.preprocessing.wsi import UnsupportedFormatError, open_slide
+
+    for suffix in (".mrxs", ".czi", ".vms", ".vmu"):
+        p = tmp_path / f"slide{suffix}"
+        p.write_bytes(b"\x00" * 16)
+        with pytest.raises(UnsupportedFormatError, match="not"):
+            open_slide(p)
+
+
+def test_extract_skips_unsupported_and_processes_rest(synthetic_slide, tmp_path, caplog):
+    """Extraction names unsupported containers loudly and still processes
+    the readable slides (reference globs all 12 extensions)."""
+    import logging as _logging
+
+    from stamp_tpu.preprocessing.extract import extract_
+    from stamp_tpu.preprocessing.wsi import UnsupportedFormatError
+
+    slide_path, _arr = synthetic_slide
+    wsi_dir = tmp_path / "wsis"
+    wsi_dir.mkdir()
+    (wsi_dir / "bad.mrxs").write_bytes(b"\x00" * 16)
+    import shutil as _shutil
+
+    _shutil.copy(slide_path, wsi_dir / slide_path.name)
+
+    with caplog.at_level(_logging.ERROR, logger="stamp"):
+        extract_(
+            wsi_dir=wsi_dir,
+            output_dir=tmp_path / "out",
+            wsi_list=None,
+            cache_dir=None,
+            cache_tiles_ext=".jpg",
+            extractor="empty",
+            tile_size_px=224,
+            tile_size_um=256.0,
+            max_workers=2,
+            default_slide_mpp=1.0,
+            generate_hash=False,
+        )
+    assert any("unsupported container" in r.message for r in caplog.records)
+    assert len(list((tmp_path / "out" / "empty").glob("*.h5"))) == 1
+
+    # all-unsupported directory fails fast with the named error
+    only_bad = tmp_path / "onlybad"
+    only_bad.mkdir()
+    (only_bad / "x.czi").write_bytes(b"\x00" * 16)
+    with pytest.raises(UnsupportedFormatError):
+        extract_(
+            wsi_dir=only_bad,
+            output_dir=tmp_path / "out2",
+            wsi_list=None,
+            cache_dir=None,
+            cache_tiles_ext=".jpg",
+            extractor="empty",
+            tile_size_px=224,
+            tile_size_um=256.0,
+            max_workers=2,
+            default_slide_mpp=1.0,
+            generate_hash=False,
+        )
