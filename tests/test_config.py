@@ -80,3 +80,52 @@ def test_checkpoint_version_gate(tmp_path):
 
     with pytest.raises(ValueError, match="newer"):
         load_checkpoint(make("99.0.0"))
+
+
+def test_checkpoint_rejects_pickle(tmp_path):
+    """The npz checkpoint loader must refuse pickle files outright."""
+    import pickle
+
+    import pytest
+
+    from stamp_tpu.modeling.checkpoint import load_checkpoint
+
+    evil = tmp_path / "model.ckpt"
+    with open(evil, "wb") as fp:
+        pickle.dump({"format": "stamp-tpu-ckpt-v1"}, fp)
+    with pytest.raises(ValueError, match="pickle"):
+        load_checkpoint(evil)
+
+
+def test_checkpoint_roundtrip_npz(tmp_path):
+    import numpy as np
+
+    from stamp_tpu.modeling.checkpoint import load_checkpoint, save_checkpoint
+
+    variables = {
+        "params": {
+            "dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "bias": np.zeros(3, np.float16),
+        },
+        "alibi_stats": {"mean": np.asarray(2.5)},
+    }
+    import stamp_tpu
+
+    save_checkpoint(
+        tmp_path / "m.ckpt",
+        hyper_parameters={
+            "stamp_version": stamp_tpu.__version__,
+            "categories": ["a", "b"],
+            "train_pred_median": np.float32(0.25),
+        },
+        variables=variables,
+    )
+    payload = load_checkpoint(tmp_path / "m.ckpt")
+    assert payload["hyper_parameters"]["categories"] == ["a", "b"]
+    assert payload["hyper_parameters"]["train_pred_median"] == 0.25
+    np.testing.assert_array_equal(
+        payload["variables"]["params"]["dense"]["kernel"],
+        variables["params"]["dense"]["kernel"],
+    )
+    assert payload["variables"]["params"]["bias"].dtype == np.float16
+    assert float(payload["variables"]["alibi_stats"]["mean"]) == 2.5
