@@ -317,7 +317,13 @@ def _run_cli(args: argparse.Namespace) -> None:
         "using the following configuration:\n"
         f"{yaml.dump(section.model_dump(mode='json', exclude_none=True))}"
     )
-    command.run(config, section)
+    if getattr(args, "profile", False):
+        from stamp_tpu.utils.profiling import profiled_run
+
+        with profiled_run(section.output_dir):
+            command.run(config, section)
+    else:
+        command.run(config, section)
 
 
 def main() -> None:
@@ -333,6 +339,12 @@ def main() -> None:
         dest="config_file_path",
         default=Path("config.yaml"),
         help="Path to config file. Default: config.yaml",
+    )
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="Write a device trace (<output_dir>/profile, TensorBoard/xprof "
+        "format) and log a per-stage wall-time table for the command.",
     )
 
     subparsers = parser.add_subparsers(dest="command")

@@ -47,6 +47,7 @@ from stamp_tpu.modeling.registry import ModelName, load_model_class
 from stamp_tpu.modeling.tasks import TaskModel
 from stamp_tpu.modeling.transforms import VaryPrecisionTransform
 from stamp_tpu.types import Category, GroundTruth, PandasLabel, PatientId, Task
+from stamp_tpu.utils import profiling
 from stamp_tpu.utils.seed import Seed
 
 _logger = logging.getLogger("stamp")
@@ -637,9 +638,10 @@ def _train_model_impl(
         train_outputs = []
         for device_batch in prefetch_to_device(train_dl, size=2, device=feed_device):
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, mutated, loss, outputs = train_step(
-                params, opt_state, model_state, device_batch, step_rng
-            )
+            with profiling.stage("train/step"):
+                params, opt_state, mutated, loss, outputs = train_step(
+                    params, opt_state, model_state, device_batch, step_rng
+                )
             if mutated:
                 model_state = mutated
             train_losses.append(loss)
@@ -656,33 +658,34 @@ def _train_model_impl(
         # ---- validate ----
         val_outputs: list = []
         val_targets: list = []
-        for batch in valid_dl:
-            if is_tile:
-                if supports_mask:
-                    bucket = _bucket_size(batch[0].shape[1])
-                    (bags, coords, sizes, targets), key_mask = _pad_tile_batch(
-                        batch, bucket
-                    )
-                    out = eval_step_padded(
-                        params,
-                        model_state,
-                        jnp.asarray(bags),
-                        jnp.asarray(coords),
-                        jnp.asarray(key_mask),
-                    )
+        with profiling.stage("train/eval"):
+            for batch in valid_dl:
+                if is_tile:
+                    if supports_mask:
+                        bucket = _bucket_size(batch[0].shape[1])
+                        (bags, coords, sizes, targets), key_mask = _pad_tile_batch(
+                            batch, bucket
+                        )
+                        out = eval_step_padded(
+                            params,
+                            model_state,
+                            jnp.asarray(bags),
+                            jnp.asarray(coords),
+                            jnp.asarray(key_mask),
+                        )
+                    else:
+                        bags, coords, sizes, targets = batch
+                        out = eval_step_exact(
+                            params, model_state, jnp.asarray(bags), jnp.asarray(coords)
+                        )
                 else:
-                    bags, coords, sizes, targets = batch
-                    out = eval_step_exact(
-                        params, model_state, jnp.asarray(bags), jnp.asarray(coords)
-                    )
-            else:
-                feats, targets = batch
-                out = eval_step_exact(params, model_state, jnp.asarray(feats))
-            if is_multitarget:
-                val_outputs.append({k: np.asarray(v) for k, v in out.items()})
-            else:
-                val_outputs.append(np.asarray(out))
-            val_targets.append(targets)
+                    feats, targets = batch
+                    out = eval_step_exact(params, model_state, jnp.asarray(feats))
+                if is_multitarget:
+                    val_outputs.append({k: np.asarray(v) for k, v in out.items()})
+                else:
+                    val_outputs.append(np.asarray(out))
+                val_targets.append(targets)
 
         metrics = model.validation_metrics(val_outputs, val_targets)
         metrics["training_loss"] = train_loss

@@ -44,6 +44,7 @@ from stamp_tpu.types import (
     SlidePixels,
     TilePixels,
 )
+from stamp_tpu.utils import profiling
 from stamp_tpu.utils.cache import get_processing_code_hash
 
 __all__ = ["extract_", "supported_extensions"]
@@ -95,11 +96,22 @@ def _batched_tiles(
     _SENTINEL = object()
     error: list[BaseException] = []
 
+    def _timed(iterator, name: str):
+        """Attribute the generator's own time (tile decode/filter) to a stage."""
+        iterator = iter(iterator)
+        while True:
+            with profiling.stage(name):
+                try:
+                    item = next(iterator)
+                except StopIteration:
+                    return
+            yield item
+
     def producer() -> None:
         try:
             images: list[np.ndarray] = []
             coords: list[tuple[float, float]] = []
-            for tile in tiles_with_cache(
+            for tile in _timed(tiles_with_cache(
                 slide_path,
                 cache_dir=cache_dir,
                 cache_tiles_ext=cache_tiles_ext,
@@ -110,8 +122,9 @@ def _batched_tiles(
                 brightness_cutoff=brightness_cutoff,
                 canny_cutoff=canny_cutoff,
                 default_slide_mpp=default_slide_mpp,
-            ):
-                images.append(extractor.transform_host(tile.image))
+            ), "preprocess/tiling"):
+                with profiling.stage("preprocess/host_transform"):
+                    images.append(extractor.transform_host(tile.image))
                 coords.append((float(tile.coordinates.x), float(tile.coordinates.y)))
                 if len(images) == _BATCH_SIZE:
                     q.put((np.stack(images), np.array(coords, dtype=np.float32)))
@@ -253,7 +266,8 @@ def extract_(
                     batch = np.asarray(macenko_normalize(jnp.asarray(batch)))
                 # device arrays accumulate without blocking — transfers and
                 # compute of consecutive batches overlap
-                feats_list.append(extractor.forward(batch))
+                with profiling.stage("preprocess/device_forward"):
+                    feats_list.append(extractor.forward(batch))
                 coords_list.append(coords)
         except MPPExtractionError:
             _logger.exception(
@@ -271,7 +285,9 @@ def extract_(
 
         coords = np.concatenate(coords_list)
 
-        with NamedTemporaryFile(dir=output_dir, delete=False) as tmp_h5_file:
+        with profiling.stage("preprocess/h5_write"), NamedTemporaryFile(
+            dir=output_dir, delete=False
+        ) as tmp_h5_file:
             try:
                 with h5py.File(tmp_h5_file.name, "w") as h5_fp:
                     h5_fp["coords"] = coords

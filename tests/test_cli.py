@@ -126,3 +126,48 @@ def test_wsi_list_subset(tmp_path):
     csv = tmp_path / "list.csv"
     pd.DataFrame(["x.svs", "y.svs"]).to_csv(csv, index=False, header=False)
     assert _get_slide_paths(csv) == {"x.svs", "y.svs"}
+
+
+def test_profile_flag_writes_stage_table(tmp_path, monkeypatch):
+    """--profile logs the per-stage wall-time table (SURVEY §5.1)."""
+    import subprocess
+    import sys
+
+    import h5py
+    import numpy as np
+    from PIL import Image
+
+    wsis = tmp_path / "wsis"
+    wsis.mkdir()
+    rng = np.random.default_rng(0)
+    img = np.full((1024, 1024, 3), 255, np.uint8)
+    img[128:640, 128:640] = rng.integers(0, 255, (512, 512, 3)).astype(np.uint8)
+    Image.fromarray(img).save(
+        wsis / "s.tiff", compression="tiff_lzw", resolution=10000.0, resolution_unit=3
+    )
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        f"""
+preprocessing:
+  output_dir: {tmp_path}/out
+  wsi_dir: {wsis}
+  extractor: empty
+  device: "cpu"
+  max_workers: 2
+  default_slide_mpp: 1.0
+"""
+    )
+    env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu"}
+    result = subprocess.run(
+        [sys.executable, "-m", "stamp_tpu", "-c", str(cfg), "--profile", "preprocess"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stderr
+    log = (tmp_path / "out" / "logfile.log").read_text()
+    assert "per-stage wall time" in log
+    assert "preprocess/tiling" in log
+    assert "preprocess/h5_write" in log
