@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 
 def _segment_dilated(
@@ -69,10 +72,11 @@ def _segment_dilated(
     return out
 
 
+@shapechecked
 def dilated_attention(
-    q: jax.Array,  # [H, L, D]
-    k: jax.Array,
-    v: jax.Array,
+    q: Float[Array, "h l d"],
+    k: Float[Array, "h l d"],
+    v: Float[Array, "h l d"],
     *,
     segment_lengths: tuple[int, ...],
     dilation_rates: tuple[int, ...],

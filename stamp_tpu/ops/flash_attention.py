@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jaxtyping import Array, Bool, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 _NEG_INF = -1e30
 
@@ -97,11 +100,12 @@ def _flash_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+@shapechecked
 def flash_mha(
-    q: jax.Array,  # [BH, Q, D]
-    k: jax.Array,  # [BH, K, D]
-    v: jax.Array,  # [BH, K, D]
-    key_mask: jax.Array,  # [BH, K] bool
+    q: Float[Array, "bh q d"],
+    k: Float[Array, "bh k d"],
+    v: Float[Array, "bh k d"],
+    key_mask: Bool[Array, "bh k"],
     *,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
@@ -191,11 +195,12 @@ def _short_attn_kernel(
 
 
 @jax.jit
+@shapechecked
 def short_mha(
-    q: jax.Array,  # [BH, N, D]
-    k: jax.Array,  # [BH, N, D]
-    v: jax.Array,  # [BH, N, D]
-) -> jax.Array:
+    q: Float[Array, "bh n d"],
+    k: Float[Array, "bh n d"],
+    v: Float[Array, "bh n d"],
+) -> Float[Array, "bh n d"]:
     """Fused full-softmax attention for short (≤ ~1k tokens) sequences.
 
     The hot path of the tile-extractor ViTs: N ≈ 265 tokens per 224px tile
@@ -273,7 +278,10 @@ def _fused_qkv_attn_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
-def fused_qkv_mha(qkv: jax.Array, num_heads: int) -> jax.Array:
+@shapechecked
+def fused_qkv_mha(
+    qkv: Float[Array, "b n three_dim"], num_heads: int
+) -> Float[Array, "b n dim"]:
     """Fused multi-head attention over a packed qkv tensor.
 
     The hot path of the tile-extractor ViTs (N ≈ 265 tokens per 224px tile;

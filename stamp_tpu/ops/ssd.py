@@ -23,6 +23,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 
 def ssd_reference(
@@ -50,12 +53,13 @@ def ssd_reference(
     return ys  # [L, H, P]
 
 
+@shapechecked
 def ssd_chunked(
-    x: jax.Array,  # [L, H, P]
-    dt: jax.Array,  # [L, H]
-    A: jax.Array,  # [H]
-    B: jax.Array,  # [L, N]
-    C: jax.Array,  # [L, N]
+    x: Float[Array, "l h p"],
+    dt: Float[Array, "l h"],
+    A: Float[Array, "h"],
+    B: Float[Array, "l n"],
+    C: Float[Array, "l n"],
     *,
     chunk: int = 64,
 ) -> jax.Array:

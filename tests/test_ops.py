@@ -99,7 +99,7 @@ def test_dilated_attention_matches_masked_reference():
     v = jnp.asarray(rng.normal(size=(H, L, D)).astype(np.float32))
 
     for w, r in [(16, 1), (16, 2), (32, 4)]:
-        out = _segment_dilated(q, k, v, w, r)
+        out = _segment_dilated(q, k, v, w, r, L)
         ref = dilated_attention_reference(q, k, v, w=w, r=r)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -174,3 +174,25 @@ def test_fused_qkv_mha_matches_einsum(interpret_pallas):
 
     out = fused_qkv_mha(qkv, H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_shapecheck_rejects_wrong_shapes():
+    """Runtime shape checking on kernel entry points (reference beartypes the
+    whole package, src/stamp/__init__.py:1-9)."""
+    from stamp_tpu.ops.flash_attention import short_mha
+
+    q = jnp.zeros((2, 16, 8))
+    k_bad = jnp.zeros((2, 12, 8))  # n mismatch
+    with pytest.raises(Exception, match="n|type|shape"):
+        short_mha(q, k_bad, q)
+
+    from stamp_tpu.ops.ssd import ssd_chunked
+
+    with pytest.raises(Exception, match="h|type|shape"):
+        ssd_chunked(
+            jnp.zeros((8, 4, 2)),
+            jnp.zeros((8, 3)),  # H mismatch
+            jnp.zeros((4,)),
+            jnp.zeros((8, 5)),
+            jnp.zeros((8, 5)),
+        )

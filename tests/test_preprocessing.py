@@ -335,3 +335,40 @@ def test_extract_skips_unsupported_and_processes_rest(synthetic_slide, tmp_path,
             default_slide_mpp=1.0,
             generate_hash=False,
         )
+
+
+@pytest.mark.slow
+def test_extraction_matches_golden_h5(tmp_path, monkeypatch):
+    """End-to-end extraction bit-stability: the full pipeline (tiling →
+    deterministic-random-weight ViT) must reproduce the committed golden h5
+    (self-generated analog of the reference's pinned-TCGA regression,
+    reference tests/test_feature_extractors.py:84-169, atol 1e-3)."""
+    from pathlib import Path as _Path
+
+    golden_path = _Path(__file__).parent / "data" / "golden_extraction.h5"
+    if not golden_path.exists():
+        pytest.skip("golden fixture not generated")
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+
+    from wsi_golden import extract_golden, write_golden_slide
+
+    slide = write_golden_slide(tmp_path)
+    produced = extract_golden(slide, tmp_path / "out")
+
+    def _sorted_by_coords(h5):
+        coords = np.asarray(h5["coords"])
+        feats = np.asarray(h5["feats"], dtype=np.float32)
+        order = np.lexsort((coords[:, 1], coords[:, 0]))
+        return coords[order], feats[order]
+
+    with h5py.File(golden_path) as g, h5py.File(produced) as p:
+        g_coords, g_feats = _sorted_by_coords(g)
+        p_coords, p_feats = _sorted_by_coords(p)
+        # tile order is threaded (supertile completion order varies); the
+        # coordinate SET and per-coordinate features are the contract
+        np.testing.assert_array_equal(p_coords, g_coords)
+        # CPU matmuls are not bitwise run-deterministic (oneDNN thread
+        # partitioning), so allow a few fp16 ulps; anything beyond that means
+        # tiling or model numerics actually changed.
+        np.testing.assert_allclose(p_feats, g_feats, atol=5e-2)
+        assert p.attrs["tile_size_um"] == g.attrs["tile_size_um"]
