@@ -30,13 +30,16 @@ from stamp_tpu.ops.attention import (
     pairwise_distances,
 )
 
-# Above this many tiles, inference switches to the fused Pallas flash kernels
-# (O(T·D) memory instead of a [T,T] weight matrix) when running on TPU.
+# Above this many tiles, attention switches to the fused Pallas flash
+# kernels (O(T·D) memory instead of a [T,T] weight matrix) when running on
+# TPU.  The vanilla path is differentiable (custom VJP), so this also covers
+# full-slide *training*; the ALiBi path stays einsum during training because
+# its Welford distance statistics are updated there.
 FLASH_ATTENTION_MIN_SEQ = 4096
 
 
-def _use_flash(train: bool, seq_len: int) -> bool:
-    if train or seq_len < FLASH_ATTENTION_MIN_SEQ:
+def _use_flash(train: bool, seq_len: int, *, trainable: bool = False) -> bool:
+    if seq_len < FLASH_ATTENTION_MIN_SEQ or (train and not trainable):
         return False
     return jax.default_backend() == "tpu"
 
@@ -80,7 +83,13 @@ class MultiHeadSelfAttention(nn.Module):
             weights = masked_softmax(logits, mask)
             self.sow("intermediates", "attn_weights", weights)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-        elif _use_flash(not deterministic, x.shape[1]):
+        elif _use_flash(
+            not deterministic,
+            x.shape[1],
+            # flash has no attention-dropout path; only use it in training
+            # when dropout is off (the MIL default)
+            trainable=(self.dropout == 0.0 or deterministic),
+        ):
             from stamp_tpu.ops.flash_attention import flash_mha
 
             b_, h_, s_, d_ = q.shape

@@ -16,8 +16,11 @@ so one fused pass accumulates both the online-softmax numerator and the
 distance-weighted value sum ``D V`` blockwise — the [T, T] distance matrix is
 never materialized either.
 
-These kernels are inference-path (no VJP); training uses bag-subsampled
-sequences where the einsum path is already optimal.
+``flash_mha`` carries a custom VJP (standard flash backward: probabilities
+recomputed blockwise from the saved log-sum-exp), so full-slide *training*
+is O(T·D) memory too.  The ALiBi variant remains inference-path: its
+training semantics need the Welford distance statistics, which are updated
+on the (bag-subsampled) einsum path.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def _flash_kernel(
     v_ref,  # [1, Bk, D]
     mask_ref,  # [1, 8, Bk] float (1 = valid; sublane-replicated for Mosaic)
     o_ref,  # [1, Bq, D]
+    lse_ref,  # [1, 8, Bq] log-sum-exp per query row (sublane-replicated)
     m_scratch,  # [Bq, 128]
     l_scratch,  # [Bq, 128]
     acc_scratch,  # [Bq, D]
@@ -97,6 +101,204 @@ def _flash_kernel(
     def _final():
         l = l_scratch[:, :1]
         o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_row = m_scratch[:, 0] + jnp.log(jnp.maximum(l_scratch[:, 0], 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[1:])
+
+
+def _flash_forward(q, k, v, mask_f, *, scale, block_q, block_k):
+    """Padded, block-aligned forward; returns (out, lse)."""
+    bh, q_len, d = q.shape
+    n_q = q_len // block_q
+    n_k = k.shape[1] // block_k
+    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, q_len), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, mask_f)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, mask_ref, dq_ref,
+    dq_scratch, *, scale: float, n_k_blocks: int,
+):
+    """dQ = scale · Σ_j dS_ij K_j with dS = P ∘ (dO Vᵀ − D)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0, 0]  # [Bq]
+    dvec = dvec_ref[0, 0]  # [Bq]
+    mask = mask_ref[0, 0]  # [Bk]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])  # [Bq, Bk]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dvec[:, None]) * scale
+    dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_k_blocks - 1)
+    def _final():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, mask_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch, *, scale: float, n_q_blocks: int,
+):
+    """dV = Pᵀ dO ; dK = scale · dSᵀ Q, accumulated over query blocks."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0, 0]
+    dvec = dvec_ref[0, 0]
+    mask = mask_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])  # [Bq, Bk]
+    dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dvec[:, None]) * scale
+    dk_scratch[:] = dk_scratch[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_q_blocks - 1)
+    def _final():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_core(q, k, v, mask_f, block_q, block_k):
+    out, _ = _flash_forward(
+        q, k, v, mask_f, scale=q.shape[-1] ** -0.5,
+        block_q=block_q, block_k=block_k,
+    )
+    return out
+
+
+def _flash_core_fwd(q, k, v, mask_f, block_q, block_k):
+    out, lse = _flash_forward(
+        q, k, v, mask_f, scale=q.shape[-1] ** -0.5,
+        block_q=block_q, block_k=block_k,
+    )
+    return out, (q, k, v, mask_f, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, residuals, do):
+    q, k, v, mask_f, out, lse = residuals
+    bh, q_len, d = q.shape
+    scale = d**-0.5
+    n_q = q_len // block_q
+    n_k = k.shape[1] // block_k
+
+    # D_i = Σ_d dO_id · O_id (the softmax-normalization correction term),
+    # sublane-replicated to satisfy Mosaic block-divisibility like the mask
+    dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dvec = jnp.broadcast_to(dvec[:, None, :], (bh, 8, q_len))
+
+    q_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),  # q
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),  # k
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),  # v
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),  # do
+        pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),  # lse
+        pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),  # dvec
+        pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),  # mask
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, n_k_blocks=n_k),
+        grid=(bh, n_q, n_k),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, dvec, mask_f)
+
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),  # q
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),  # k
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),  # v
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),  # do
+        pl.BlockSpec((1, 8, block_q), lambda b, j, i: (b, 0, i)),  # lse
+        pl.BlockSpec((1, 8, block_q), lambda b, j, i: (b, 0, i)),  # dvec
+        pl.BlockSpec((1, 8, block_k), lambda b, j, i: (b, 0, j)),  # mask
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, n_q_blocks=n_q),
+        grid=(bh, n_k, n_q),
+        in_specs=kv_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, dvec, mask_f)
+
+    return dq, dk, dv, None  # mask is not differentiable
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -110,10 +312,14 @@ def flash_mha(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Masked flash attention over flattened (batch×head) sequences."""
+    """Masked flash attention over flattened (batch×head) sequences.
+
+    Differentiable: a custom VJP recomputes the probabilities blockwise from
+    the saved log-sum-exp (the standard flash backward), so full-slide
+    *training* never materializes a [T, T] matrix either.
+    """
     bh, q_len, d = q.shape
     k_len = k.shape[1]
-    scale = d**-0.5
 
     q_pad = (-q_len) % block_q
     k_pad = (-k_len) % block_k
@@ -129,32 +335,7 @@ def flash_mha(
         key_mask.astype(jnp.float32)[:, None, :], (bh, 8, k.shape[1])
     )
 
-    n_q = q.shape[1] // block_q
-    n_k = k.shape[1] // block_k
-
-    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(bh, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(q, k, v, mask_f)
-
+    out = _flash_core(q, k, v, mask_f, block_q, block_k)
     return out[:, :q_len]
 
 

@@ -196,3 +196,32 @@ def test_shapecheck_rejects_wrong_shapes():
             jnp.zeros((8, 5)),
             jnp.zeros((8, 5)),
         )
+
+
+def test_flash_mha_gradients_match_einsum(interpret_pallas):
+    """The custom VJP must agree with autodiff through the einsum reference
+    (enables full-slide training without a [T,T] matrix)."""
+    from stamp_tpu.ops.flash_attention import flash_mha
+
+    rng = np.random.default_rng(3)
+    BH, T, D = 2, 200, 32
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    mask = jnp.asarray(np.tile((np.arange(T) < 163)[None], (BH, 1)))
+    tangent = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+
+    def ref_loss(q, k, v):
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
+        w = masked_softmax(logits, mask[:, None, :])
+        out = jnp.einsum("bqk,bkd->bqd", w, v)
+        return jnp.sum(out * tangent)
+
+    def flash_loss(q, k, v):
+        out = flash_mha(q, k, v, mask, block_q=128, block_k=128)
+        return jnp.sum(out * tangent)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    got_grads = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    for got, ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
