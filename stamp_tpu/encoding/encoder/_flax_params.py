@@ -44,7 +44,7 @@ def load_or_init_params(
     path = _find_torch_weights(weight_files)
     if path is None:
         raise FileNotFoundError(
-            f"no weights found for encoder '{name}' (searched caches for "
+            f"no weights found for '{name}' (searched caches for "
             f"{weight_files}). Pre-seed the checkpoint into ~/.cache/stamp or "
             "set STAMP_WEIGHTS_DIR; set STAMP_RANDOM_WEIGHTS=1 for smoke "
             "testing without weights."

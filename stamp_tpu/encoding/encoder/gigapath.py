@@ -44,11 +44,13 @@ class Gigapath(VirtualSlidePatientMixin, Encoder):
     def _generate_slide_embedding(self, feats, device, coords=None, **kwargs):
         if coords is None:
             raise ValueError("Tile coords are required for encoding")
+        # µm → px → tile-grid units (position-embedding step = one tile)
         coords_px = np.asarray(coords.coords_um, np.float64) / coords.mpp
+        grid = coords_px / float(coords.tile_size_px)
         out = self._forward(
             self.variables,
             jnp.asarray(feats, jnp.float32),
-            jnp.asarray(coords_px, jnp.float32),
+            jnp.asarray(grid, jnp.float32),
         )
         return np.asarray(out, np.float32)
 

@@ -111,7 +111,7 @@ def load_checkpoint(path: Path | str) -> dict[str, Any]:
     path = Path(path)
     with open(path, "rb") as fp:
         magic = fp.read(2)
-    if magic == b"\x80":
+    if magic.startswith(b"\x80"):  # pickle protocol ≥2 marker
         raise ValueError(
             f"{path} is a pickle file — refusing to load it (pickle "
             "checkpoints can execute arbitrary code; re-train or re-export "

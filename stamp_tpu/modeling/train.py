@@ -642,6 +642,10 @@ def _train_model_impl(
                 params, opt_state, mutated, loss, outputs = train_step(
                     params, opt_state, model_state, device_batch, step_rng
                 )
+                if profiling.timer.enabled:
+                    # attribute the device wait to the step, not to whatever
+                    # op happens to synchronize later
+                    jax.block_until_ready(loss)
             if mutated:
                 model_state = mutated
             train_losses.append(loss)

@@ -53,28 +53,57 @@ def alibi_slopes(num_heads: int) -> np.ndarray:
 
 
 class _BiasedAttention(nn.Module):
-    """Standard multi-head attention with an optional additive logit bias."""
+    """Multi-head attention with an additive logit bias, dense or flash.
+
+    ``bias`` is a dense [1, H, N, N] logit bias (small inputs); for long
+    sequences, pass ``flash_coords``/``flash_slopes`` instead and the 2-D
+    ALiBi bias is computed blockwise inside the Pallas kernel — no [N, N]
+    tensor is ever materialized (the reason TITAN can encode 10⁴–10⁵-tile
+    slides on a 16 GB chip).
+    """
 
     dim: int
     num_heads: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None = None,
+        flash_coords: jax.Array | None = None,  # [N, 2]
+        flash_slopes: jax.Array | None = None,  # [H]
+    ) -> jax.Array:
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk",
-            q * head_dim**-0.5,
-            k,
-            preferred_element_type=jnp.float32,
-        )
-        if bias is not None:
-            logits = logits + bias
-        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        if flash_coords is not None:
+            from stamp_tpu.ops.flash_attention import flash_alibi2d_mha
+
+            bh = b * self.num_heads
+            coords = jnp.broadcast_to(
+                flash_coords[None, None], (b, self.num_heads, n, 2)
+            ).reshape(bh, n, 2)
+            slopes = jnp.tile(flash_slopes, b)
+            out = flash_alibi2d_mha(
+                q.reshape(bh, n, head_dim),
+                k.reshape(bh, n, head_dim),
+                v.reshape(bh, n, head_dim),
+                coords,
+                slopes,
+            ).reshape(b, self.num_heads, n, head_dim)
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk",
+                q * head_dim**-0.5,
+                k,
+                preferred_element_type=jnp.float32,
+            )
+            if bias is not None:
+                logits = logits + bias
+            weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, name="proj")(out)
 
@@ -87,9 +116,17 @@ class _TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None = None,
+        flash_coords: jax.Array | None = None,
+        flash_slopes: jax.Array | None = None,
+    ) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + _BiasedAttention(self.dim, self.num_heads, name="attn")(h, bias)
+        x = x + _BiasedAttention(self.dim, self.num_heads, name="attn")(
+            h, bias, flash_coords, flash_slopes
+        )
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -113,6 +150,9 @@ class TitanViT(nn.Module):
     dim: int = 768
     depth: int = 12
     num_heads: int = 12
+    # above this many tiles the 2-D-ALiBi bias is computed blockwise inside
+    # the flash kernel instead of as a dense [H, N, N] tensor
+    flash_min_tiles: int = 2048
 
     @nn.compact
     def __call__(self, feats: jax.Array, grid_coords: jax.Array) -> jax.Array:
@@ -125,18 +165,30 @@ class TitanViT(nn.Module):
         cls = self.param("cls_token", nn.initializers.zeros, (1, self.dim))
         x = jnp.concatenate([cls, x], axis=0)[None]  # [1, N+1, dim]
 
-        # 2-D ALiBi bias: [H, N+1, N+1]; row/col 0 (CLS) unpenalised
-        coords = grid_coords.astype(jnp.float32)
-        delta = coords[:, None, :] - coords[None, :, :]
-        dist = jnp.sqrt((delta**2).sum(-1) + 1e-12)  # [N, N]
-        dist = jnp.pad(dist, ((1, 0), (1, 0)))  # CLS row/col = 0
+        n = feats.shape[0]
         slopes = jnp.asarray(alibi_slopes(self.num_heads))
-        bias = -slopes[:, None, None] * dist[None]  # [H, N+1, N+1]
-        bias = bias[None]  # [1, H, N+1, N+1]
+        use_flash = (
+            n >= self.flash_min_tiles and jax.default_backend() != "cpu"
+        )
+        if use_flash:
+            bias = None
+            # CLS coords are a placeholder — the kernel exempts position 0
+            flash_coords = jnp.concatenate(
+                [jnp.zeros((1, 2), jnp.float32), grid_coords.astype(jnp.float32)]
+            )
+            flash_slopes = slopes
+        else:
+            # dense 2-D ALiBi bias [1, H, N+1, N+1]; CLS row/col unpenalised
+            coords = grid_coords.astype(jnp.float32)
+            delta = coords[:, None, :] - coords[None, :, :]
+            dist = jnp.sqrt((delta**2).sum(-1) + 1e-12)  # [N, N]
+            dist = jnp.pad(dist, ((1, 0), (1, 0)))  # CLS row/col = 0
+            bias = (-slopes[:, None, None] * dist[None])[None]
+            flash_coords = flash_slopes = None
 
         for i in range(self.depth):
             x = _TransformerBlock(self.dim, self.num_heads, name=f"block_{i}")(
-                x, bias
+                x, bias, flash_coords, flash_slopes
             )
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x[0, 0]  # CLS
@@ -208,14 +260,16 @@ class LongNetViT(nn.Module):
     num_heads: int = 12
     segment_lengths: tuple[int, ...] = (128, 512, 2048, 8192)
     dilation_rates: tuple[int, ...] = (1, 2, 4, 8)
-    tile_size_px: float = 256.0
 
     @nn.compact
-    def __call__(self, feats: jax.Array, coords_px: jax.Array) -> jax.Array:
-        """feats: [N, 1536]; coords_px: [N, 2] pixel coordinates → [dim]."""
+    def __call__(self, feats: jax.Array, grid_coords: jax.Array) -> jax.Array:
+        """feats: [N, 1536]; grid_coords: [N, 2] coordinates in *tile-grid
+        units* (pixel coordinates divided by the actual tile stride — the
+        caller owns that normalization, since the stride depends on the
+        extraction config) → [dim]."""
         x = nn.Dense(self.dim, name="patch_embed")(feats)
         x = x + sincos_position_embedding(
-            coords_px.astype(jnp.float32) / self.tile_size_px, self.dim
+            grid_coords.astype(jnp.float32), self.dim
         ).astype(x.dtype)
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, self.dim))

@@ -339,84 +339,157 @@ def flash_mha(
     return out[:, :q_len]
 
 
-def _short_attn_kernel(
-    q_ref,  # [1, Np, D]
-    k_ref,  # [1, Np, D]
-    v_ref,  # [1, Np, D]
-    o_ref,  # [1, Np, D]
+def _flash_prebias_kernel(
+    q_ref,  # [1, Bq, D]
+    k_ref,  # [1, Bk, D]
+    v_ref,  # [1, Bk, D]
+    cq_ref,  # [1, Bq, 128] coords (xy in lanes 0..1)
+    ck_ref,  # [1, Bk, 128]
+    slope_ref,  # [1, 8, 128] per-(batch·head) ALiBi slope in [0, 0]
+    o_ref,  # [1, Bq, D]
+    m_scratch,
+    l_scratch,
+    acc_scratch,
     *,
     scale: float,
+    n_k_blocks: int,
+    block_q: int,
+    block_k: int,
     n_valid: int,
+    exempt_first: bool,
 ):
-    """Whole-sequence softmax attention for one (batch, head) pair.
+    """Flash attention with a *pre-softmax* ALiBi distance bias
+    ``logits −= slope · euclid(coords_i, coords_j)``.
 
-    Everything lives in VMEM — the [N, N] score matrix is never written to
-    HBM.  ``n_valid`` is a compile-time constant, so key masking needs no
-    mask tensor (and no mask DMA) at all.
+    Used by the TITAN slide encoder (2-D ALiBi over the tile grid): the
+    [N, N] bias matrix is computed blockwise from the coordinates and never
+    materialized.  ``exempt_first`` zeroes the bias on the first global
+    row/column (the CLS token attends and is attended without penalty);
+    keys ≥ ``n_valid`` (padding) are masked.
     """
+    q_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    slope = slope_ref[0, 0, 0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Np, Np] f32
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    ) * scale  # [Bq, Bk]
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    # divide in f32, cast to the value dtype, then one MXU pass — the same
-    # order as the einsum path (softmax f32 → bf16 → PV matmul)
-    w = (p / l).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        w, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # blockwise pairwise distances via exact per-axis differences (VPU)
+    cq = cq_ref[0]
+    ck = ck_ref[0]
+    dx = cq[:, 0:1] - ck[:, 0:1].T
+    dy = cq[:, 1:2] - ck[:, 1:2].T
+    dist = jnp.sqrt(dx * dx + dy * dy)
+
+    row_pos = q_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 0
+    )
+    col_pos = k_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1
+    )
+    bias = -slope * dist
+    if exempt_first:
+        bias = jnp.where((row_pos == 0) | (col_pos == 0), 0.0, bias)
+    s = s + bias
+    s = jnp.where(col_pos < n_valid, s, _NEG_INF)
+
+    m_prev = m_scratch[:, :1]
+    l_prev = l_scratch[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(k_idx == n_k_blocks - 1)
+    def _final():
+        l = l_scratch[:, :1]
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@jax.jit
+@functools.partial(
+    jax.jit, static_argnames=("exempt_first", "block_q", "block_k")
+)
 @shapechecked
-def short_mha(
+def flash_alibi2d_mha(
     q: Float[Array, "bh n d"],
     k: Float[Array, "bh n d"],
     v: Float[Array, "bh n d"],
-) -> Float[Array, "bh n d"]:
-    """Fused full-softmax attention for short (≤ ~1k tokens) sequences.
-
-    The hot path of the tile-extractor ViTs: N ≈ 265 tokens per 224px tile
-    (reference extractor ViTs run flash-attn/xformers here; SURVEY.md §2.2).
-    The unfused einsum path materializes a [B·H, N, N] float32 score tensor
-    in HBM every layer — for a ViT-H batch that is ~1.7 GB per layer of
-    write+read traffic, which measures as ~half the forward time on v5e.
-    Here each grid step computes one (batch, head) pair's whole attention in
-    VMEM, so HBM sees only Q/K/V in and O out.
-    """
+    coords: Float[Array, "bh n 2"],
+    slopes: Float[Array, "bh"],
+    *,
+    exempt_first: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Pre-softmax 2-D-ALiBi flash attention (TITAN slide encoder)."""
     bh, n, d = q.shape
     scale = d**-0.5
 
-    n_pad = (-n) % 8  # sublane alignment; lanes are padded by Mosaic
-    if n_pad:
-        q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0)))
+    pad = (-n) % max(block_q, block_k)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
     np_ = q.shape[1]
 
-    kernel = functools.partial(_short_attn_kernel, scale=scale, n_valid=n)
+    c128 = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
+    slope_rep = jnp.broadcast_to(
+        slopes.astype(jnp.float32)[:, None, None], (bh, 8, 128)
+    )
+
+    n_q = np_ // block_q
+    n_k = np_ // block_k
+    kernel = functools.partial(
+        _flash_prebias_kernel,
+        scale=scale,
+        n_k_blocks=n_k,
+        block_q=block_q,
+        block_k=block_k,
+        n_valid=n,
+        exempt_first=exempt_first,
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh, n_q, n_k),
         in_specs=[
-            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v)
+    )(q, k, v, c128, c128, slope_rep)
     return out[:, :n]
 
 

@@ -208,11 +208,13 @@ def extract_(
             "TIFF/SVS or extract them with the reference pipeline."
         )
         slide_paths = [p for p in slide_paths if p not in set(unsupported)]
+        if not slide_paths:
+            raise UnsupportedFormatError(
+                f"every slide found in {wsi_dir} is in an unsupported "
+                "container format"
+            )
     if not slide_paths:
-        raise UnsupportedFormatError(
-            f"no readable slides found in {wsi_dir} (all candidates were in "
-            "unsupported container formats or none matched)"
-        )
+        _logger.warning(f"no slides found in {wsi_dir}; nothing to do")
 
     # Shuffle so concurrent jobs on a shared filesystem interleave
     # (reference preprocessing/__init__.py:269-273).
@@ -267,7 +269,12 @@ def extract_(
                 # device arrays accumulate without blocking — transfers and
                 # compute of consecutive batches overlap
                 with profiling.stage("preprocess/device_forward"):
-                    feats_list.append(extractor.forward(batch))
+                    feats = extractor.forward(batch)
+                    if profiling.timer.enabled:
+                        # attribute the device wait here rather than at the
+                        # h5 write; profiling trades away dispatch overlap
+                        feats = np.asarray(feats)
+                    feats_list.append(feats)
                 coords_list.append(coords)
         except MPPExtractionError:
             _logger.exception(

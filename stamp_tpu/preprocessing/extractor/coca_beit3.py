@@ -10,46 +10,19 @@ by random init under ``STAMP_RANDOM_WEIGHTS=1``.
 
 from __future__ import annotations
 
-import logging
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
 from stamp_tpu.models.beit3 import Beit3Config, Beit3VisionTower, multiscale_cls
 from stamp_tpu.models.coca import COCA_CONFIGS, CoCaVisionTower
-from stamp_tpu.preprocessing.extractor import (
-    Extractor,
-    _find_torch_weights,
-    _resize_transform,
-)
-
-_logger = logging.getLogger("stamp")
+from stamp_tpu.preprocessing.extractor import Extractor, _resize_transform
 
 
 def _bf16_on_device(tree):
     return jax.device_put(
         jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), tree)
-    )
-
-
-def _random_or_fail(module, example, *, identifier: str, weight_files: list[str]):
-    if os.environ.get("STAMP_RANDOM_WEIGHTS") == "1":
-        _logger.warning(f"{identifier}: using RANDOM weights")
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            return module.init(jax.random.PRNGKey(0), example)
-    path = _find_torch_weights(weight_files)
-    if path is None:
-        raise FileNotFoundError(
-            f"no weights found for extractor '{identifier}' (searched caches "
-            f"for {weight_files}). Pre-seed the checkpoint into ~/.cache/stamp "
-            "or STAMP_WEIGHTS_DIR; set STAMP_RANDOM_WEIGHTS=1 for smoke "
-            "testing without weights."
-        )
-    raise NotImplementedError(
-        f"found weights for '{identifier}' at {path}, but no state-dict "
-        "converter is wired up yet for this architecture."
     )
 
 
@@ -71,10 +44,10 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
     """CONCH v1.0 / v1.5 CoCa vision branch."""
     cfg = COCA_CONFIGS[variant]
     module = CoCaVisionTower(cfg)
-    variables = _random_or_fail(
+    variables = load_or_init_params(
         module,
-        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
-        identifier=identifier,
+        (jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),),
+        name=identifier,
         weight_files=(
             ["*conch*.bin", "*CONCH*.safetensors"]
             if variant == "conch"
@@ -104,10 +77,10 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
     """MUSK BEiT3-L vision path, two-scale (reference musk.py:30-35)."""
     cfg = Beit3Config()
     module = Beit3VisionTower(cfg)
-    variables = _random_or_fail(
+    variables = load_or_init_params(
         module,
-        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
-        identifier=identifier,
+        (jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),),
+        name=identifier,
         weight_files=["*musk*.safetensors", "*MUSK*.pth"],
     )
     variables = _bf16_on_device(variables)

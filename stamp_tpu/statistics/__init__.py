@@ -92,15 +92,19 @@ def _classification_report(
             f"Available columns: {list(available)}"
         )
 
+    # parse each fold CSV once, reused across every target
+    all_folds = {
+        Path(csv).parent.name: _read_predictions(Path(csv), dtype=str)
+        for csv in pred_csvs
+    }
+
     aggregates: dict[str, pd.DataFrame] = {}
     for target_label in target_labels:
-        folds: dict[str, pd.DataFrame] = {}
-        for csv in pred_csvs:
-            preds = _read_predictions(Path(csv), dtype=str).dropna(
-                subset=[target_label]
-            )
-            if len(preds):
-                folds[Path(csv).parent.name] = preds
+        folds = {
+            fold: preds
+            for fold, raw in all_folds.items()
+            if len(preds := raw.dropna(subset=[target_label]))
+        }
         if not folds:
             continue
 

@@ -9,7 +9,6 @@ CI collapsed onto the mean instead of NaN bounds.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 from pathlib import Path
 
 import numpy as np
@@ -88,14 +87,3 @@ def write_multitarget_summary(
     pd.concat(stacked).to_csv(output_dir / "multitarget_categorical-stats_summary.csv")
 
 
-def load_fold_tables(
-    pred_csvs: Sequence[Path], target_label: str
-) -> dict[str, pd.DataFrame]:
-    """Per-fold score tables keyed by the CSV's parent directory name,
-    skipping folds with no usable ground truth."""
-    tables: dict[str, pd.DataFrame] = {}
-    for csv in pred_csvs:
-        preds = pd.read_csv(csv, dtype=str).dropna(subset=[target_label])
-        if len(preds):
-            tables[Path(csv).parent.name] = fold_score_table(preds, target_label)
-    return tables

@@ -158,9 +158,11 @@ preprocessing:
 """
     )
     env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu"}
+    from pathlib import Path as _Path
+
     result = subprocess.run(
         [sys.executable, "-m", "stamp_tpu", "-c", str(cfg), "--profile", "preprocess"],
-        cwd="/root/repo",
+        cwd=_Path(__file__).parent.parent,
         env=env,
         capture_output=True,
         text=True,

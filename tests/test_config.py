@@ -93,7 +93,9 @@ def test_checkpoint_rejects_pickle(tmp_path):
     evil = tmp_path / "model.ckpt"
     with open(evil, "wb") as fp:
         pickle.dump({"format": "stamp-tpu-ckpt-v1"}, fp)
-    with pytest.raises(ValueError, match="pickle"):
+    # match on the message body, not just "pickle" (which would also match
+    # the tmp_path directory name embedded in the error)
+    with pytest.raises(ValueError, match="refusing to load"):
         load_checkpoint(evil)
 
 

@@ -141,22 +141,6 @@ def test_macenko_normalization():
     assert out[0][~tissue].mean() > 200
 
 
-def test_short_mha_matches_einsum(interpret_pallas):
-    from stamp_tpu.ops.flash_attention import short_mha
-
-    rng = np.random.default_rng(1)
-    BH, T, D = 6, 265, 64  # ViT-H/14 tile geometry: 256 patches + cls + 8 reg
-    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
-
-    logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
-    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, axis=-1), v)
-
-    out = short_mha(q, k, v)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-
 def test_fused_qkv_mha_matches_einsum(interpret_pallas):
     from stamp_tpu.ops.flash_attention import fused_qkv_mha
 
@@ -179,12 +163,12 @@ def test_fused_qkv_mha_matches_einsum(interpret_pallas):
 def test_shapecheck_rejects_wrong_shapes():
     """Runtime shape checking on kernel entry points (reference beartypes the
     whole package, src/stamp/__init__.py:1-9)."""
-    from stamp_tpu.ops.flash_attention import short_mha
+    from stamp_tpu.ops.flash_attention import flash_mha
 
     q = jnp.zeros((2, 16, 8))
-    k_bad = jnp.zeros((2, 12, 8))  # n mismatch
-    with pytest.raises(Exception, match="n|type|shape"):
-        short_mha(q, k_bad, q)
+    k_bad = jnp.zeros((2, 12, 8))  # k-len mismatch between k and mask
+    with pytest.raises(Exception, match="k|type|shape"):
+        flash_mha(q, k_bad, k_bad, jnp.ones((2, 16), bool))
 
     from stamp_tpu.ops.ssd import ssd_chunked
 
@@ -225,3 +209,29 @@ def test_flash_mha_gradients_match_einsum(interpret_pallas):
     got_grads = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
     for got, ref in zip(got_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_flash_alibi2d_matches_dense(interpret_pallas):
+    """Pre-softmax 2-D-ALiBi flash (TITAN path) vs the dense computation,
+    including the CLS row/column exemption."""
+    from stamp_tpu.ops.flash_attention import flash_alibi2d_mha
+
+    rng = np.random.default_rng(4)
+    BH, T, D = 3, 300, 32
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    coords = jnp.asarray(rng.integers(0, 40, size=(BH, T, 2)).astype(np.float32))
+    slopes = jnp.asarray([0.5, 0.1, 0.02], np.float32)
+
+    delta = coords[:, :, None, :] - coords[:, None, :, :]
+    dist = jnp.sqrt((delta**2).sum(-1))
+    bias = -slopes[:, None, None] * dist
+    idx = jnp.arange(T)
+    exempt = (idx[:, None] == 0) | (idx[None, :] == 0)
+    bias = jnp.where(exempt[None], 0.0, bias)
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D) + bias
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, axis=-1), v)
+
+    out = flash_alibi2d_mha(q, k, v, coords, slopes, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
