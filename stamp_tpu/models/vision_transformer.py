@@ -167,23 +167,24 @@ class MultiHeadALiBi(nn.Module):
         )
 
         if train:
-            distances = pairwise_distances(coords, coords)  # [B, T, T]
             # Welford update (reference vision_tranformer.py:23-31):
             # running_mean ← mean(running_mean + (x − running_mean)/items)
+            # = running_mean + (mean(x) − running_mean)/items — so only the
+            # scalar mean pairwise distance is needed, which streams in row
+            # blocks for full-slide bags (no [B, T, T] materialization).
+            from stamp_tpu.ops.attention import mean_pairwise_distance
+
             rm = running_mean.value  # [H]
             items = items_so_far.value  # [H]
-            d = distances[:, None, :, :]  # [B, 1, T, T] broadcast over heads
-            new_rm = jnp.mean(
-                rm[None, :, None, None] + (d - rm[None, :, None, None]) / items[None, :, None, None],
-                axis=(0, 2, 3),
-            ).reshape(-1)  # mean over batch+pairs per head
+            mean_d = mean_pairwise_distance(coords)
+            new_rm = rm + (mean_d - rm) / items
             running_mean.value = new_rm
             items_so_far.value = items + 1.0
             rm_used = new_rm
         else:
             rm_used = running_mean.value
 
-        if alibi_mask is None and _use_flash(train, x.shape[1]):
+        if alibi_mask is None and _use_flash(train, x.shape[1], trainable=True):
             # fused kernel: never materializes [T,T] weights or distances
             from stamp_tpu.ops.flash_attention import flash_alibi_mha
 
@@ -210,8 +211,7 @@ class MultiHeadALiBi(nn.Module):
                 km,
             ).reshape(b_, h_, s_, d_)
         else:
-            if not train:
-                distances = pairwise_distances(coords, coords)  # [B, T, T]
+            distances = pairwise_distances(coords, coords)  # [B, T, T]
             # scaled distance bias per head: dist / running_mean × bias_scale
             scaled = (
                 distances[:, None, :, :]

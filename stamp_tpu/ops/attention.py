@@ -74,6 +74,32 @@ def pairwise_distances(
     return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
 
 
+def mean_pairwise_distance(coords: jax.Array, *, block: int = 512) -> jax.Array:
+    """Mean of all T² pairwise Euclidean distances, streamed in row blocks.
+
+    Feeds the ALiBi Welford running-mean update for full-slide training:
+    the reference materializes the whole [B, T, T] cdist to take its mean
+    (vision_tranformer.py:23-31); this computes the identical scalar with
+    O(B·block·T) peak memory via lax.scan over row blocks.
+    """
+    b, t, _ = coords.shape
+    pad = (-t) % block
+    padded = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
+    n_blocks = padded.shape[1] // block
+    row_blocks = padded.reshape(b, n_blocks, block, 2).transpose(1, 0, 2, 3)
+
+    valid = (jnp.arange(padded.shape[1]) < t).astype(coords.dtype)  # [Tp]
+    valid_blocks = valid.reshape(n_blocks, block)
+
+    def body(total, inputs):
+        rows, row_valid = inputs  # [B, block, 2], [block]
+        d = pairwise_distances(rows, coords)  # [B, block, T]
+        return total + jnp.sum(d * row_valid[None, :, None]), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), coords.dtype), (row_blocks, valid_blocks))
+    return total / (b * t * t)
+
+
 def alibi_attention(
     q: jax.Array,  # [B, H, Q, D]
     k: jax.Array,  # [B, H, K, D]

@@ -583,6 +583,75 @@ def fused_qkv_mha(
     return out[:, :n]
 
 
+def _dws_kernel(
+    ca_ref,  # [1, Ba, 128] output-side coords (xy in lanes 0..1)
+    cb_ref,  # [1, Bb, 128] summation-side coords
+    val_ref,  # [1, Bb, D]
+    mask_ref,  # [1, 8, Bb] — 1 = include summation index
+    o_ref,  # [1, Ba, D]
+    acc_scratch,  # [Ba, D]
+    *,
+    n_b_blocks: int,
+):
+    """out_a = Σ_b euclid(c_a, c_b) · val_b, accumulated over b blocks."""
+    b_idx = pl.program_id(2)
+
+    @pl.when(b_idx == 0)
+    def _init():
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # exact per-axis differences on the VPU: the Gram-matrix identity
+    # |a|²+|b|²−2a·b cancels catastrophically for nearby µm coordinates
+    ca = ca_ref[0]
+    cb = cb_ref[0]
+    mask = mask_ref[0, 0]
+    dx = ca[:, 0:1] - cb[:, 0:1].T
+    dy = ca[:, 1:2] - cb[:, 1:2].T
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    dist = jnp.where(mask[None, :] > 0, dist, 0.0)
+
+    val = val_ref[0]
+    acc_scratch[:] = acc_scratch[:] + jax.lax.dot_general(
+        dist.astype(val.dtype),
+        val,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(b_idx == n_b_blocks - 1)
+    def _final():
+        o_ref[0] = acc_scratch[:].astype(o_ref.dtype)
+
+
+def _dist_weighted_sum(coords_a, coords_b, values, mask_f, *, block_a, block_b):
+    """[bh, A, D] ← Σ_b euclid(c_a, c_b)·values_b.  Shapes pre-padded.
+
+    Its own transpose: the VJP of ``dacc = D·V`` wrt V is ``Dᵀ·dO``, which is
+    this same kernel with the coordinate sides swapped.
+    """
+    bh, a_len, d = coords_a.shape[0], coords_a.shape[1], values.shape[-1]
+    n_a = a_len // block_a
+    n_b = coords_b.shape[1] // block_b
+    kernel = functools.partial(_dws_kernel, n_b_blocks=n_b)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_a, n_b),
+        in_specs=[
+            pl.BlockSpec((1, block_a, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_b, 128), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_b, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, block_b), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_a, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, a_len, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_a, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(coords_a, coords_b, values, mask_f)
+
+
 def _flash_alibi_kernel(
     q_ref,  # [1, Bq, D]
     k_ref,  # [1, Bk, D]
@@ -592,6 +661,7 @@ def _flash_alibi_kernel(
     mask_ref,  # [1, 8, Bk] (sublane-replicated)
     o_ref,  # [1, Bq, D]
     dacc_out_ref,  # [1, Bq, D]  distance-weighted value accumulator output
+    lse_ref,  # [1, 8, Bq] log-sum-exp (saved for the VJP)
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -658,6 +728,147 @@ def _flash_alibi_kernel(
         l = l_scratch[:, :1]
         o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         dacc_out_ref[0] = dacc_scratch[:].astype(dacc_out_ref.dtype)
+        lse_row = m_scratch[:, 0] + jnp.log(jnp.maximum(l_scratch[:, 0], 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[1:])
+
+
+def _flash_alibi_forward(q, k, v, cq, ck, mask_f, *, scale, block_q, block_k):
+    """Padded fused pass → (softmax_out, dacc = D·V, lse)."""
+    bh, q_len, d = q.shape
+    n_q = q_len // block_q
+    n_k = k.shape[1] // block_k
+    kernel = functools.partial(_flash_alibi_kernel, scale=scale, n_k_blocks=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, q_len), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, cq, ck, mask_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _alibi_core(q, k, v, cq, ck, dist_scale, mask_f, block_q, block_k):
+    out_sm, dacc, _ = _flash_alibi_forward(
+        q, k, v, cq, ck, mask_f,
+        scale=q.shape[-1] ** -0.5, block_q=block_q, block_k=block_k,
+    )
+    return out_sm - dist_scale[:, None, None] * dacc
+
+
+def _alibi_core_fwd(q, k, v, cq, ck, dist_scale, mask_f, block_q, block_k):
+    out_sm, dacc, lse = _flash_alibi_forward(
+        q, k, v, cq, ck, mask_f,
+        scale=q.shape[-1] ** -0.5, block_q=block_q, block_k=block_k,
+    )
+    out = out_sm - dist_scale[:, None, None] * dacc
+    return out, (q, k, v, cq, ck, dist_scale, mask_f, out_sm, dacc, lse)
+
+
+def _alibi_core_bwd(block_q, block_k, residuals, do):
+    q, k, v, cq, ck, dist_scale, mask_f, out_sm, dacc, lse = residuals
+    bh, q_len, d = q.shape
+    scale = d**-0.5
+    n_q = q_len // block_q
+    n_k = k.shape[1] // block_k
+
+    # --- softmax branch: standard flash backward (same kernels as flash_mha)
+    dvec = jnp.sum(do.astype(jnp.float32) * out_sm.astype(jnp.float32), axis=-1)
+    dvec = jnp.broadcast_to(dvec[:, None, :], (bh, 8, q_len))
+
+    q_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, n_k_blocks=n_k),
+        grid=(bh, n_q, n_k),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, dvec, mask_f)
+
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda b, j, i: (b, 0, i)),
+        pl.BlockSpec((1, 8, block_q), lambda b, j, i: (b, 0, i)),
+        pl.BlockSpec((1, 8, block_k), lambda b, j, i: (b, 0, j)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, n_q_blocks=n_q),
+        grid=(bh, n_k, n_q),
+        in_specs=kv_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, dvec, mask_f)
+
+    # --- post-softmax bias branch: out -= dist_scale · (D V)
+    ddist_scale = -jnp.sum(
+        do.astype(jnp.float32) * dacc, axis=(1, 2)
+    ).astype(dist_scale.dtype)
+    # dV_bias = −dist_scale · Dᵀ dO (the D·V kernel with coord sides swapped);
+    # masked keys contribute nothing to dacc, so zero their v gradients
+    all_valid = jnp.ones((bh, 8, q_len), jnp.float32)
+    dv_bias = _dist_weighted_sum(
+        ck, cq, (do * dist_scale[:, None, None]).astype(do.dtype), all_valid,
+        block_a=block_k, block_b=block_q,
+    )
+    key_valid = mask_f[:, 0, :, None] > 0  # [bh, K, 1]
+    dv = dv - jnp.where(key_valid, dv_bias, 0.0).astype(dv.dtype)
+
+    return dq, dk, dv, None, None, ddist_scale, None
+
+
+_alibi_core.defvjp(_alibi_core_fwd, _alibi_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -673,10 +884,16 @@ def flash_alibi_mha(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Fused spatial-ALiBi attention (post-softmax distance bias)."""
+    """Fused spatial-ALiBi attention (post-softmax distance bias).
+
+    Differentiable: the softmax branch uses the standard flash backward and
+    the bias branch's ``D·V`` pullback reuses the distance-weighted-sum
+    kernel transposed — full-slide ALiBi *training* never materializes a
+    [T, T] matrix.  ``dist_scale`` gets a gradient (it is a function of the
+    learned per-head bias_scale); coordinates and the mask do not.
+    """
     bh, q_len, d = q.shape
     k_len = k.shape[1]
-    scale = d**-0.5
 
     q_pad = (-q_len) % block_q
     k_pad = (-k_len) % block_k
@@ -696,40 +913,5 @@ def flash_alibi_mha(
     cq = jnp.pad(coords_q.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
     ck = jnp.pad(coords_k.astype(jnp.float32), ((0, 0), (0, 0), (0, 126)))
 
-    n_q = q.shape[1] // block_q
-    n_k = k.shape[1] // block_k
-
-    kernel = functools.partial(_flash_alibi_kernel, scale=scale, n_k_blocks=n_k)
-
-    out, dacc = pl.pallas_call(
-        kernel,
-        grid=(bh, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, 128), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q.shape[1], d), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(q, k, v, cq, ck, mask_f)
-
-    out = out[:, :q_len] - dist_scale[:, None, None] * dacc[:, :q_len]
-    return out
+    out = _alibi_core(q, k, v, cq, ck, dist_scale, mask_f, block_q, block_k)
+    return out[:, :q_len]

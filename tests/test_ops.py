@@ -235,3 +235,49 @@ def test_flash_alibi2d_matches_dense(interpret_pallas):
 
     out = flash_alibi2d_mha(q, k, v, coords, slopes, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_alibi_gradients_match_einsum(interpret_pallas):
+    """ALiBi flash VJP (softmax branch + post-softmax bias branch) vs
+    autodiff through the einsum reference — full-slide ALiBi training."""
+    from stamp_tpu.ops.flash_attention import flash_alibi_mha
+
+    rng = np.random.default_rng(5)
+    BH, T, D = 2, 180, 16
+    q = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(size=(BH, T, 2)).astype(np.float32) * 1000)
+    dist_scale = jnp.asarray(rng.uniform(size=(BH,)).astype(np.float32) * 1e-4)
+    mask = jnp.asarray(np.tile((np.arange(T) < 151)[None], (BH, 1)))
+    tangent = jnp.asarray(rng.normal(size=(BH, T, D)).astype(np.float32))
+
+    def ref_loss(q, k, v, ds):
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(D)
+        w = masked_softmax(logits, mask[:, None, :])
+        sd = ds[:, None, None] * pairwise_distances(coords, coords)
+        out = jnp.einsum("bqk,bkd->bqd", (w - sd) * mask[:, None, :], v)
+        return jnp.sum(out * tangent)
+
+    def flash_loss(q, k, v, ds):
+        out = flash_alibi_mha(
+            q, k, v, coords, coords, ds, mask, block_q=128, block_k=128
+        )
+        return jnp.sum(out * tangent)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, dist_scale)
+    got_grads = jax.grad(flash_loss, argnums=(0, 1, 2, 3))(q, k, v, dist_scale)
+    for got, ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_mean_pairwise_distance_matches_dense():
+    from stamp_tpu.ops.attention import mean_pairwise_distance
+
+    rng = np.random.default_rng(6)
+    coords = jnp.asarray(rng.uniform(0, 1000, size=(2, 307, 2)).astype(np.float32))
+    dense = float(pairwise_distances(coords, coords).mean())
+    streamed = float(mean_pairwise_distance(coords, block=64))
+    np.testing.assert_allclose(streamed, dense, rtol=1e-5)
