@@ -157,7 +157,12 @@ class ModelParams(BaseModel):
 
 class AdvancedConfig(BaseModel):
     model_config = ConfigDict(extra="forbid")
-    bag_size: int = 512
+    bag_size: int | None = Field(
+        default=512,
+        description="Tiles sampled per bag during training; null = train on "
+        "whole slides (batch_size forced to 1, bags bucket-padded with "
+        "masked attention; requires a mask-capable tile model such as vit).",
+    )
     num_workers: int = min(os.cpu_count() or 1, 16)
     batch_size: int = 64
     max_epochs: int = 32

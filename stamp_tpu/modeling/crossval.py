@@ -258,6 +258,7 @@ def _fit_fold(
         max_epochs=advanced.max_epochs,
         patience=advanced.patience,
         accelerator=advanced.accelerator,
+        pad_train_buckets=advanced.bag_size is None,
     )
 
 

@@ -107,6 +107,7 @@ def train_categorical_model_(*, config: TrainConfig, advanced: AdvancedConfig) -
         max_epochs=advanced.max_epochs,
         patience=advanced.patience,
         accelerator=advanced.accelerator,
+        pad_train_buckets=advanced.bag_size is None,
     )
 
 
@@ -120,7 +121,7 @@ def setup_dataloaders_for_training(
     patient_to_data: Mapping[PatientId, PatientData],
     task: Task,
     categories: Sequence[Category] | None,
-    bag_size: int,
+    bag_size: int | None,
     batch_size: int,
     num_workers: int,
     train_transform: Callable | None,
@@ -208,6 +209,14 @@ def setup_dataloaders_for_training(
         categories=train_categories,
     )
 
+    if bag_size is None:
+        # whole-slide training: bags are ragged, so one slide per step;
+        # the train loop bucket-pads and masks
+        if batch_size != 1:
+            _logger.info(
+                "bag_size is null (whole-slide training): forcing batch_size=1"
+            )
+        batch_size = 1
     train_dl = BatchIterator(train_ds, batch_size=batch_size, shuffle=True)
     valid_dl = BatchIterator(valid_ds, batch_size=1, shuffle=False)
 
@@ -506,8 +515,14 @@ def train_model_(
     max_epochs: int,
     patience: int,
     accelerator: str | None = None,
+    pad_train_buckets: bool = False,
 ) -> tuple[TaskModel, Any]:
     """Trains a model; saves the best checkpoint to ``output_dir/model.ckpt``.
+
+    ``pad_train_buckets`` enables whole-slide training (``bag_size: null``):
+    each ragged training bag is padded to a power-of-two bucket and attended
+    with a key mask, so the jitted step compiles once per bucket instead of
+    once per slide.
 
     Returns (task_model, best_variables).
     """
@@ -521,6 +536,7 @@ def train_model_(
                 valid_dl=valid_dl,
                 max_epochs=max_epochs,
                 patience=patience,
+                pad_train_buckets=pad_train_buckets,
             )
     return _train_model_impl(
         output_dir=output_dir,
@@ -529,6 +545,7 @@ def train_model_(
         valid_dl=valid_dl,
         max_epochs=max_epochs,
         patience=patience,
+        pad_train_buckets=pad_train_buckets,
     )
 
 
@@ -540,6 +557,7 @@ def _train_model_impl(
     valid_dl: BatchIterator,
     max_epochs: int,
     patience: int,
+    pad_train_buckets: bool = False,
 ) -> tuple[TaskModel, Any]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -564,12 +582,12 @@ def _train_model_impl(
 
     is_multitarget = isinstance(getattr(model, "weights", None), dict)
 
-    def apply_model(variables, batch, *, train, rngs):
+    def apply_model(variables, batch, *, train, rngs, key_mask=None):
         if is_tile:
             bags, coords, _sizes, _t = batch
             kwargs = dict(train=train)
             if uses_coords:
-                kwargs.update(coords=coords, key_mask=None)
+                kwargs.update(coords=coords, key_mask=key_mask)
             out = module.apply(
                 variables, bags, **kwargs, rngs=rngs, mutable=["alibi_stats"]
             )
@@ -586,6 +604,27 @@ def _train_model_impl(
             variables = {"params": p, **model_state}
             outputs, mutated = apply_model(
                 variables, batch, train=True, rngs={"dropout": step_rng}
+            )
+            loss = loss_fn_task(outputs, batch)
+            return loss, (mutated, outputs)
+
+        (loss, (mutated, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mutated, loss, outputs
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step_masked(params, opt_state, model_state, batch, key_mask, step_rng):
+        def loss_fn(p):
+            variables = {"params": p, **model_state}
+            outputs, mutated = apply_model(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": step_rng},
+                key_mask=key_mask,
             )
             loss = loss_fn_task(outputs, batch)
             return loss, (mutated, outputs)
@@ -625,6 +664,19 @@ def _train_model_impl(
     global_step = 0
 
     supports_mask = is_tile and bool(getattr(module, "supports_coords", False))
+    if pad_train_buckets and not supports_mask:
+        raise ValueError(
+            "bag_size: null (whole-slide training) requires a mask-capable "
+            "tile model (e.g. vit); use a fixed bag_size with "
+            f"{type(module).__name__}."
+        )
+
+    def _bucketed(batches):
+        """Pad ragged whole-slide bags to power-of-two buckets + key masks."""
+        for batch in batches:
+            bucket = _bucket_size(batch[0].shape[1])
+            padded, key_mask = _pad_tile_batch(batch, bucket)
+            yield padded, key_mask
 
     for epoch in range(max_epochs):
         # ---- train ----
@@ -636,12 +688,22 @@ def _train_model_impl(
 
         train_losses = []
         train_outputs = []
-        for device_batch in prefetch_to_device(train_dl, size=2, device=feed_device):
+        train_feed = (
+            _bucketed(train_dl) if pad_train_buckets else train_dl
+        )
+        for device_batch in prefetch_to_device(train_feed, size=2, device=feed_device):
             rng, step_rng = jax.random.split(rng)
             with profiling.stage("train/step"):
-                params, opt_state, mutated, loss, outputs = train_step(
-                    params, opt_state, model_state, device_batch, step_rng
-                )
+                if pad_train_buckets:
+                    batch, key_mask = device_batch
+                    params, opt_state, mutated, loss, outputs = train_step_masked(
+                        params, opt_state, model_state, batch,
+                        jnp.asarray(key_mask), step_rng,
+                    )
+                else:
+                    params, opt_state, mutated, loss, outputs = train_step(
+                        params, opt_state, model_state, device_batch, step_rng
+                    )
                 if profiling.timer.enabled:
                     # attribute the device wait to the step, not to whatever
                     # op happens to synchronize later

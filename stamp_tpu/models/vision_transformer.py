@@ -176,7 +176,7 @@ class MultiHeadALiBi(nn.Module):
 
             rm = running_mean.value  # [H]
             items = items_so_far.value  # [H]
-            mean_d = mean_pairwise_distance(coords)
+            mean_d = mean_pairwise_distance(coords, mask=key_mask)
             new_rm = rm + (mean_d - rm) / items
             running_mean.value = new_rm
             items_so_far.value = items + 1.0

@@ -74,30 +74,45 @@ def pairwise_distances(
     return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
 
 
-def mean_pairwise_distance(coords: jax.Array, *, block: int = 512) -> jax.Array:
-    """Mean of all T² pairwise Euclidean distances, streamed in row blocks.
+def mean_pairwise_distance(
+    coords: jax.Array,
+    *,
+    mask: jax.Array | None = None,  # [B, T] True = valid tile
+    block: int = 512,
+) -> jax.Array:
+    """Mean pairwise Euclidean distance over valid tiles, streamed in row
+    blocks.
 
     Feeds the ALiBi Welford running-mean update for full-slide training:
     the reference materializes the whole [B, T, T] cdist to take its mean
     (vision_tranformer.py:23-31); this computes the identical scalar with
-    O(B·block·T) peak memory via lax.scan over row blocks.
+    O(B·block·T) peak memory via lax.scan over row blocks.  With ``mask``
+    (bucket-padded bags) only valid–valid pairs contribute.
     """
     b, t, _ = coords.shape
+    col_valid = (
+        mask.astype(coords.dtype)
+        if mask is not None
+        else jnp.ones((b, t), coords.dtype)
+    )  # [B, T]
+
     pad = (-t) % block
     padded = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
     n_blocks = padded.shape[1] // block
     row_blocks = padded.reshape(b, n_blocks, block, 2).transpose(1, 0, 2, 3)
-
-    valid = (jnp.arange(padded.shape[1]) < t).astype(coords.dtype)  # [Tp]
-    valid_blocks = valid.reshape(n_blocks, block)
+    row_valid = jnp.pad(col_valid, ((0, 0), (0, pad)))  # [B, Tp]
+    row_valid_blocks = row_valid.reshape(b, n_blocks, block).transpose(1, 0, 2)
 
     def body(total, inputs):
-        rows, row_valid = inputs  # [B, block, 2], [block]
+        rows, rv = inputs  # [B, block, 2], [B, block]
         d = pairwise_distances(rows, coords)  # [B, block, T]
-        return total + jnp.sum(d * row_valid[None, :, None]), None
+        return total + jnp.sum(d * rv[:, :, None] * col_valid[:, None, :]), None
 
-    total, _ = jax.lax.scan(body, jnp.zeros((), coords.dtype), (row_blocks, valid_blocks))
-    return total / (b * t * t)
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), coords.dtype), (row_blocks, row_valid_blocks)
+    )
+    n_pairs = jnp.sum(jnp.sum(col_valid, axis=1) ** 2)
+    return total / jnp.maximum(n_pairs, 1.0)
 
 
 def alibi_attention(

@@ -308,3 +308,55 @@ def test_ensemble_deploy(tmp_path):
     assert (tmp_path / "deploy" / "patient-preds-0.csv").exists()
     assert (tmp_path / "deploy" / "patient-preds-1.csv").exists()
     assert (tmp_path / "deploy" / "patient-preds_95_confidence_interval.csv").exists()
+
+
+@pytest.mark.slow
+def test_whole_slide_training(tmp_path):
+    """bag_size: null trains on full slides (bucket-padded, masked) for both
+    vanilla and ALiBi attention — the capability the flash VJPs enable."""
+    from random_data import create_random_dataset
+    from stamp_tpu.modeling.config import (
+        AdvancedConfig,
+        ModelParams,
+        TrainConfig,
+        VitModelParams,
+    )
+    from stamp_tpu.modeling.train import train_categorical_model_
+
+    clini, slide, feat_dir, _cats = create_random_dataset(
+        dir=tmp_path,
+        n_patients=12,
+        max_slides_per_patient=1,
+        min_tiles_per_slide=20,
+        max_tiles_per_slide=90,  # crosses a bucket boundary
+        feat_dim=8,
+        n_categories=2,
+    )
+    for use_alibi in (False, True):
+        out = tmp_path / f"out_{use_alibi}"
+        train_categorical_model_(
+            config=TrainConfig(
+                task="classification",
+                output_dir=out,
+                clini_table=clini,
+                slide_table=slide,
+                feature_dir=feat_dir,
+                ground_truth_label="ground-truth",
+                patient_label="patient",
+                filename_label="slide_path",
+            ),
+            advanced=AdvancedConfig(
+                model_params=ModelParams(
+                    vit=VitModelParams(
+                        dim_model=32, dim_feedforward=32, n_heads=4,
+                        use_alibi=use_alibi,
+                    )
+                ),
+                bag_size=None,
+                max_epochs=2,
+                patience=2,
+                batch_size=4,  # forced to 1 with a log line
+                accelerator="cpu",
+            ),
+        )
+        assert (out / "model.ckpt").exists()
