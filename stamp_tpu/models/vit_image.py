@@ -397,8 +397,14 @@ VIT_CONFIGS: dict[str, ViTConfig] = {
         ffn="swiglu",
         init_values=1e-5,
     ),
-    # DinoBloom — dinov2-small, hematology (dinobloom.py)
+    # DinoBloom — dinov2 ViT-S/14 at 224px (pos_embed resized to 257 tokens,
+    # reference dinobloom.py:47-49), hematology
     "dino_vits14": ViTConfig(
         patch_size=14, embed_dim=384, depth=12, num_heads=6, init_values=1e-5
+    ),
+    # RedDino-large — dinov2 ViT-L/14 at 224px (reference reddino.py:40-45
+    # loads "Snarcy/RedDino-large", CLS token only)
+    "dino_vitl14": ViTConfig(
+        patch_size=14, embed_dim=1024, depth=24, num_heads=16, init_values=1e-5
     ),
 }

@@ -100,10 +100,11 @@ def dino_bloom() -> Extractor:
 
 
 def red_dino() -> Extractor:
-    """RedDino (reference extractor/reddino.py)."""
+    """RedDino-large — dinov2 ViT-L/14, CLS only (reference extractor/
+    reddino.py:40-45)."""
     return make_vit_extractor(
         identifier="red-dino",
-        arch="dino_vits14",
+        arch="dino_vitl14",
         weight_files=["*reddino*.pth", "*RedDino*.safetensors"],
     )
 
