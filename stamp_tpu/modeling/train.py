@@ -599,24 +599,9 @@ def _train_model_impl(
         return out  # (outputs, mutated)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, model_state, batch, step_rng):
-        def loss_fn(p):
-            variables = {"params": p, **model_state}
-            outputs, mutated = apply_model(
-                variables, batch, train=True, rngs={"dropout": step_rng}
-            )
-            loss = loss_fn_task(outputs, batch)
-            return loss, (mutated, outputs)
-
-        (loss, (mutated, outputs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, mutated, loss, outputs
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step_masked(params, opt_state, model_state, batch, key_mask, step_rng):
+    def train_step(params, opt_state, model_state, batch, key_mask, step_rng):
+        # key_mask is None (an empty pytree) for fixed-size bags and a
+        # [B, bucket] bool array for whole-slide bucket-padded bags
         def loss_fn(p):
             variables = {"params": p, **model_state}
             outputs, mutated = apply_model(
@@ -696,14 +681,12 @@ def _train_model_impl(
             with profiling.stage("train/step"):
                 if pad_train_buckets:
                     batch, key_mask = device_batch
-                    params, opt_state, mutated, loss, outputs = train_step_masked(
-                        params, opt_state, model_state, batch,
-                        jnp.asarray(key_mask), step_rng,
-                    )
+                    key_mask = jnp.asarray(key_mask)
                 else:
-                    params, opt_state, mutated, loss, outputs = train_step(
-                        params, opt_state, model_state, device_batch, step_rng
-                    )
+                    batch, key_mask = device_batch, None
+                params, opt_state, mutated, loss, outputs = train_step(
+                    params, opt_state, model_state, batch, key_mask, step_rng
+                )
                 if profiling.timer.enabled:
                     # attribute the device wait to the step, not to whatever
                     # op happens to synchronize later

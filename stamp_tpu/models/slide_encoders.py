@@ -168,7 +168,7 @@ class TitanViT(nn.Module):
         n = feats.shape[0]
         slopes = jnp.asarray(alibi_slopes(self.num_heads))
         use_flash = (
-            n >= self.flash_min_tiles and jax.default_backend() != "cpu"
+            n >= self.flash_min_tiles and jax.default_backend() == "tpu"
         )
         if use_flash:
             bias = None

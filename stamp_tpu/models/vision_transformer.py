@@ -32,9 +32,9 @@ from stamp_tpu.ops.attention import (
 
 # Above this many tiles, attention switches to the fused Pallas flash
 # kernels (O(T·D) memory instead of a [T,T] weight matrix) when running on
-# TPU.  The vanilla path is differentiable (custom VJP), so this also covers
-# full-slide *training*; the ALiBi path stays einsum during training because
-# its Welford distance statistics are updated there.
+# TPU.  Both the vanilla and the ALiBi kernels are differentiable (custom
+# VJPs), so this also covers full-slide *training*; the ALiBi Welford
+# statistics stream blockwise alongside.
 FLASH_ATTENTION_MIN_SEQ = 4096
 
 
@@ -166,17 +166,35 @@ class MultiHeadALiBi(nn.Module):
             "alibi_stats", "items_so_far", lambda: jnp.ones((self.num_heads,))
         )
 
+        use_flash_path = alibi_mask is None and _use_flash(
+            train, x.shape[1], trainable=True
+        )
+        if not use_flash_path:
+            distances = pairwise_distances(coords, coords)  # [B, T, T]
+
         if train:
             # Welford update (reference vision_tranformer.py:23-31):
             # running_mean ← mean(running_mean + (x − running_mean)/items)
             # = running_mean + (mean(x) − running_mean)/items — so only the
-            # scalar mean pairwise distance is needed, which streams in row
-            # blocks for full-slide bags (no [B, T, T] materialization).
-            from stamp_tpu.ops.attention import mean_pairwise_distance
+            # scalar mean pairwise distance is needed.  On the flash path it
+            # streams in row blocks (no [B, T, T] materialization); on the
+            # einsum path it reuses the dense matrix computed for the bias.
+            if use_flash_path:
+                from stamp_tpu.ops.attention import mean_pairwise_distance
+
+                mean_d = mean_pairwise_distance(coords, mask=key_mask)
+            elif key_mask is not None:
+                pair_w = (
+                    key_mask[:, :, None] & key_mask[:, None, :]
+                ).astype(distances.dtype)
+                mean_d = jnp.sum(distances * pair_w) / jnp.maximum(
+                    jnp.sum(pair_w), 1.0
+                )
+            else:
+                mean_d = jnp.mean(distances)
 
             rm = running_mean.value  # [H]
             items = items_so_far.value  # [H]
-            mean_d = mean_pairwise_distance(coords, mask=key_mask)
             new_rm = rm + (mean_d - rm) / items
             running_mean.value = new_rm
             items_so_far.value = items + 1.0
@@ -184,7 +202,7 @@ class MultiHeadALiBi(nn.Module):
         else:
             rm_used = running_mean.value
 
-        if alibi_mask is None and _use_flash(train, x.shape[1], trainable=True):
+        if use_flash_path:
             # fused kernel: never materializes [T,T] weights or distances
             from stamp_tpu.ops.flash_attention import flash_alibi_mha
 
@@ -211,7 +229,6 @@ class MultiHeadALiBi(nn.Module):
                 km,
             ).reshape(b_, h_, s_, d_)
         else:
-            distances = pairwise_distances(coords, coords)  # [B, T, T]
             # scaled distance bias per head: dist / running_mean × bias_scale
             scaled = (
                 distances[:, None, :, :]

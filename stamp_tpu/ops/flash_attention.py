@@ -16,11 +16,12 @@ so one fused pass accumulates both the online-softmax numerator and the
 distance-weighted value sum ``D V`` blockwise — the [T, T] distance matrix is
 never materialized either.
 
-``flash_mha`` carries a custom VJP (standard flash backward: probabilities
-recomputed blockwise from the saved log-sum-exp), so full-slide *training*
-is O(T·D) memory too.  The ALiBi variant remains inference-path: its
-training semantics need the Welford distance statistics, which are updated
-on the (bag-subsampled) einsum path.
+Both ``flash_mha`` and ``flash_alibi_mha`` carry custom VJPs (standard
+flash backward with probabilities recomputed blockwise from the saved
+log-sum-exp; the ALiBi bias branch's ``D·V`` pullback reuses the
+distance-weighted-sum kernel transposed), so full-slide *training* is
+O(T·D) memory too.  The ALiBi Welford statistics stream through
+``ops.attention.mean_pairwise_distance`` during training.
 """
 
 from __future__ import annotations
@@ -444,7 +445,11 @@ def flash_alibi2d_mha(
     bh, n, d = q.shape
     scale = d**-0.5
 
-    pad = (-n) % max(block_q, block_k)
+    import math
+
+    # q and k share the sequence here, so the padded length must be a
+    # multiple of BOTH block sizes or trailing keys would never be visited
+    pad = (-n) % math.lcm(block_q, block_k)
     if pad:
         q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))

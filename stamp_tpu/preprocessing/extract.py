@@ -214,7 +214,10 @@ def extract_(
                 "container format"
             )
     if not slide_paths:
-        _logger.warning(f"no slides found in {wsi_dir}; nothing to do")
+        raise FileNotFoundError(
+            f"no slides found in {wsi_dir}"
+            + (" (or the wsi_list matched nothing)" if wsi_list else "")
+        )
 
     # Shuffle so concurrent jobs on a shared filesystem interleave
     # (reference preprocessing/__init__.py:269-273).
