@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Collection, Iterable
+from functools import partial
 from pathlib import Path
 from typing import cast
 
@@ -76,38 +77,93 @@ def _gradcam_single(
     return np.asarray(cam)
 
 
+STREAMING_ROLLOUT_MIN_SEQ = 4096
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _rollout_row_step(r: jax.Array, q: jax.Array, k: jax.Array, *, block: int = 256):
+    """One rollout layer as a streamed vector–matrix product.
+
+    ``(r · Ā)_j = meanₕ Σ_q r_q · softmax_row(q)ⱼ`` computed from (q, k)
+    in query blocks of ``block`` rows — the [T, T] attention matrix is never
+    materialized, so rollout works on 10⁵-tile slides.
+    r: [T]; q, k: [H, T, D] → new r [T].
+    """
+    h, t, d = q.shape
+    scale = d**-0.5
+    pad = (-t) % block
+    q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    r_p = jnp.pad(r, (0, pad))  # padded queries carry zero weight
+    n_blocks = q_p.shape[1] // block
+
+    q_blocks = q_p.reshape(h, n_blocks, block, d).transpose(1, 0, 2, 3)
+    r_blocks = r_p.reshape(n_blocks, block)
+
+    def body(acc, inputs):
+        qb, rb = inputs  # [H, block, D], [block]
+        s = jnp.einsum(
+            "hqd,hkd->hqk", qb * scale, k, preferred_element_type=jnp.float32
+        )  # [H, block, T]
+        p = jnp.exp(s - jax.nn.logsumexp(s, axis=-1, keepdims=True))
+        return acc + jnp.einsum("q,hqk->k", rb, p) / h, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((t,), jnp.float32), (q_blocks, r_blocks))
+    return acc
+
+
 def _attention_rollout_single(
     model, variables, feats: np.ndarray, coords: np.ndarray
 ) -> np.ndarray:
     """Attention rollout: CLS→tile relevance aggregated across layers
-    (reference heatmaps/__init__.py:59-112); uses the model's sown attention
-    maps instead of module-attribute capture."""
+    (reference heatmaps/__init__.py:59-112).
+
+    Small bags use the model's sown attention maps; large bags (≥
+    STREAMING_ROLLOUT_MIN_SEQ tiles) stream the CLS-row product from the
+    sown per-layer (q, k) instead, keeping memory O(T·D)."""
     module = model.module
-    kwargs: dict = dict(train=False, sow_weights=True)
+    n_tiles = feats.shape[0]
+    streaming = n_tiles >= STREAMING_ROLLOUT_MIN_SEQ
+
+    kwargs: dict = dict(train=False, sow_weights=not streaming)
     if model.uses_coords:
         kwargs.update(coords=jnp.asarray(coords)[None], key_mask=None)
     _out, state = module.apply(
         variables, jnp.asarray(feats)[None], **kwargs, mutable=["intermediates"]
     )
 
-    rollout: np.ndarray | None = None
     inter = state["intermediates"]
-    # collect attn_weights from every block, in layer order
-    maps = []
-    for block_name in sorted(k for k in inter.keys() if k.startswith("block_")):
-        mhsa = inter[block_name].get("mhsa", {})
-        w = mhsa.get("attn_weights")
-        if w:
-            maps.append(np.asarray(w[0])[0])  # [heads, seq, seq]
-    if not maps:
-        raise RuntimeError("no attention maps collected from transformer layers")
+    block_names = sorted(k for k in inter.keys() if k.startswith("block_"))
 
-    for attn in maps:
-        attn = attn.mean(0)  # [seq, seq]
-        attn = attn / (attn.sum(axis=-1, keepdims=True) + 1e-8)
-        rollout = attn if rollout is None else rollout @ attn
+    if streaming:
+        r = None
+        for block_name in block_names:
+            mhsa = inter[block_name].get("mhsa", {})
+            if "attn_q" not in mhsa:
+                raise RuntimeError("no attention q/k collected for rollout")
+            q = jnp.asarray(mhsa["attn_q"][0])[0]  # [H, T+1, D]
+            k = jnp.asarray(mhsa["attn_k"][0])[0]
+            if r is None:
+                r = jnp.zeros((q.shape[1],), jnp.float32).at[0].set(1.0)
+            r = _rollout_row_step(r, q, k)
+        cls_attn = np.asarray(r)[1:]
+    else:
+        rollout: np.ndarray | None = None
+        maps = []
+        for block_name in block_names:
+            mhsa = inter[block_name].get("mhsa", {})
+            w = mhsa.get("attn_weights")
+            if w:
+                maps.append(np.asarray(w[0])[0])  # [heads, seq, seq]
+        if not maps:
+            raise RuntimeError("no attention maps collected from transformer layers")
 
-    cls_attn = rollout[0, 1:]  # CLS → tiles
+        for attn in maps:
+            attn = attn.mean(0)  # [seq, seq]
+            attn = attn / (attn.sum(axis=-1, keepdims=True) + 1e-8)
+            rollout = attn if rollout is None else rollout @ attn
+
+        cls_attn = rollout[0, 1:]  # CLS → tiles
+
     cls_attn = cls_attn - cls_attn.min()
     return cls_attn / max(cls_attn.max(), 1e-8)
 

@@ -73,6 +73,8 @@ class MultiHeadSelfAttention(nn.Module):
         if self.dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
+        self.sow("intermediates", "attn_q", q)
+        self.sow("intermediates", "attn_k", k)
         if sow_weights:
             # expose attention maps for attention rollout (heatmaps)
             depth = q.shape[-1]
@@ -243,6 +245,8 @@ class MultiHeadALiBi(nn.Module):
                 key_mask=key_mask,
                 alibi_mask=alibi_mask,
             )
+        self.sow("intermediates", "attn_q", q)
+        self.sow("intermediates", "attn_k", k)
         if sow_weights:
             # ALiBi "weights" are not a distribution; expose softmax part only.
             depth = q.shape[-1]

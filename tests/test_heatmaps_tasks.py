@@ -136,3 +136,47 @@ def test_attention_rollout():
     rollout = _attention_rollout_single(model, variables, feats, coords)
     assert rollout.shape == (6,)
     assert rollout.min() >= 0 and rollout.max() <= 1.0 + 1e-6
+
+
+def test_streaming_rollout_matches_dense(monkeypatch):
+    """The streamed CLS-row rollout must agree with the dense product."""
+    import jax.numpy as jnp
+    import stamp_tpu.heatmaps.generate as gen
+    from stamp_tpu.models.vision_transformer import VisionTransformer
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+
+    rng = np.random.default_rng(0)
+    n, f = 37, 8
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    coords = rng.uniform(0, 1000, size=(n, 2)).astype(np.float32)
+
+    model = LitTileClassifier(
+        model_class=VisionTransformer,
+        ground_truth_label="gt",
+        categories=["a", "b"],
+        category_weights=np.array([0.5, 0.5], dtype=np.float32),
+        dim_input=f,
+        model_name="vit",
+        dim_model=16,
+        dim_feedforward=16,
+        n_heads=4,
+        n_layers=2,
+        use_alibi=False,
+        total_steps=4,
+    )
+    import jax
+
+    variables = model.init_variables(
+        jax.random.PRNGKey(0),
+        (
+            np.zeros((1, 4, f), np.float32),
+            np.zeros((1, 4, 2), np.float32),
+            np.array([4]),
+            np.zeros((1, 2), np.float32),
+        ),
+    )
+
+    dense = gen._attention_rollout_single(model, variables, feats, coords)
+    monkeypatch.setattr(gen, "STREAMING_ROLLOUT_MIN_SEQ", 1)
+    streamed = gen._attention_rollout_single(model, variables, feats, coords)
+    np.testing.assert_allclose(streamed, dense, atol=1e-4)
