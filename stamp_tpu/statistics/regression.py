@@ -26,7 +26,10 @@ def write_regression_report(
 
     per_fold: dict[str, dict[str, float]] = {}
     for csv in pred_csvs:
-        fold = Path(csv).stem
+        # parent_stem like the survival report: crossval folds all name their
+        # CSV patient-preds.csv, so the stem alone would collide (the
+        # reference keys by stem and silently overwrites, regression.py:59)
+        fold = f"{Path(csv).parent.name}_{Path(csv).stem}"
         preds = pd.read_csv(csv).dropna(subset=[ground_truth_label, "pred"])
         y_true = preds[ground_truth_label].to_numpy(dtype=float)
         y_pred = preds["pred"].to_numpy(dtype=float)

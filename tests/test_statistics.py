@@ -185,3 +185,69 @@ def test_kaplan_meier_monotone():
     assert km.survival[0] == 1.0
     assert np.all(np.diff(km.survival) <= 1e-12)
     assert km.at_risk[0] == 6
+
+
+def test_survival_stats_multi_fold(tmp_path):
+    rng = np.random.default_rng(1)
+    csvs = []
+    for i in range(2):
+        d = tmp_path / f"split-{i}"
+        d.mkdir()
+        n = 40
+        risk = rng.normal(0, 1, n)
+        df = pd.DataFrame(
+            {
+                "patient": [random_string(8) for _ in range(n)],
+                "pred_score": risk,
+                "day": np.maximum(1, 800 - 250 * risk + rng.normal(0, 80, n)),
+                "status": rng.choice([0, 1], n, p=[0.25, 0.75]),
+            }
+        )
+        df["cut_off=0.1"] = None
+        csv = d / "patient-preds.csv"
+        df.to_csv(csv, index=False)
+        csvs.append(csv)
+
+    compute_stats_(
+        task="survival",
+        output_dir=tmp_path / "stats",
+        pred_csvs=csvs,
+        time_label="day",
+        status_label="status",
+    )
+    ind = pd.read_csv(tmp_path / "stats" / "survival-stats_individual.csv", index_col=0)
+    assert len(ind) == 2
+    # the recorded training cut-off is used, not the per-fold median
+    assert (ind["threshold"] == 0.1).all()
+    assert len(list((tmp_path / "stats" / "plots").glob("*.svg"))) == 2
+
+
+def test_regression_stats_multi_fold_aggregate(tmp_path):
+    rng = np.random.default_rng(2)
+    csvs = []
+    for i in range(3):
+        d = tmp_path / f"split-{i}"
+        d.mkdir()
+        truth = rng.uniform(0, 50, 30)
+        pd.DataFrame(
+            {
+                "patient": [random_string(8) for _ in range(30)],
+                "t": truth,
+                "pred": truth + rng.normal(0, 2, 30),
+            }
+        ).to_csv(d / "patient-preds.csv", index=False)
+        csvs.append(d / "patient-preds.csv")
+
+    compute_stats_(
+        task="regression",
+        output_dir=tmp_path / "stats",
+        pred_csvs=csvs,
+        ground_truth_label="t",
+    )
+    agg = pd.read_csv(
+        tmp_path / "stats" / "t_regression-stats_aggregated.csv", index_col=0
+    )
+    assert agg.loc["r2_score", "mean"] > 0.8
+    assert agg.loc["r2_score", "95%_low"] <= agg.loc["r2_score", "mean"]
+    assert agg.loc["r2_score", "95%_high"] >= agg.loc["r2_score", "mean"]
+    assert len(list((tmp_path / "stats" / "plots").glob("*scatter.svg"))) == 3
