@@ -92,9 +92,13 @@ def _classification_report(
             f"Available columns: {list(available)}"
         )
 
-    # parse each fold CSV once, reused across every target
+    # parse each fold CSV once, reused across every target; keyed by
+    # parent_stem so both crossval (split-i/patient-preds.csv) and deploy
+    # ensembles (patient-preds-{0,1}.csv in ONE directory) stay distinct
     all_folds = {
-        Path(csv).parent.name: _read_predictions(Path(csv), dtype=str)
+        f"{Path(csv).parent.name}_{Path(csv).stem}": _read_predictions(
+            Path(csv), dtype=str
+        )
         for csv in pred_csvs
     }
 

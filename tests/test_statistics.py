@@ -251,3 +251,27 @@ def test_regression_stats_multi_fold_aggregate(tmp_path):
     assert agg.loc["r2_score", "95%_low"] <= agg.loc["r2_score", "mean"]
     assert agg.loc["r2_score", "95%_high"] >= agg.loc["r2_score", "mean"]
     assert len(list((tmp_path / "stats" / "plots").glob("*scatter.svg"))) == 3
+
+
+def test_classification_stats_deploy_ensemble_same_dir(tmp_path):
+    """Deploy writes patient-preds-{i}.csv into ONE directory; each must be
+    its own fold (the reference keys by parent dir and collides here)."""
+    csvs = []
+    for i in range(2):
+        csv = tmp_path / f"patient-preds-{i}.csv"
+        random_patient_preds(n_patients=40, categories=["a", "b"]).to_csv(
+            csv, index=False
+        )
+        csvs.append(csv)
+    compute_stats_(
+        task="classification",
+        output_dir=tmp_path / "stats",
+        pred_csvs=csvs,
+        ground_truth_label="ground-truth",
+        true_class="a",
+    )
+    ind = pd.read_csv(
+        tmp_path / "stats" / "ground-truth_categorical-stats_individual.csv",
+        index_col=[0, 1],
+    )
+    assert len(ind) == 4  # 2 folds × 2 classes
