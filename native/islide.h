@@ -1,0 +1,49 @@
+// islide.h — abstract slide interface shared by the native WSI backends.
+//
+// Two backends implement it today:
+//   * TiffSlide  (wsireader.cpp)  — pyramidal TIFF / SVS / NDPI via libtiff
+//   * MiraxSlide (mirax.cpp)      — 3DHISTECH MIRAX (.mrxs) multi-file container
+// The C ABI in wsireader.cpp dispatches on the file type and forwards every
+// call virtually, so the Python ctypes layer (stamp_tpu/preprocessing/wsi.py)
+// is backend-agnostic.
+
+#pragma once
+
+#include <cstdint>
+#include <string>
+
+struct ISlide {
+  virtual ~ISlide() = default;
+
+  virtual int64_t width() const = 0;   // level-0 width in pixels
+  virtual int64_t height() const = 0;  // level-0 height in pixels
+  virtual int32_t level_count() const = 0;
+  virtual int64_t level_width(int32_t level) const = 0;
+  virtual int64_t level_height(int32_t level) const = 0;
+  virtual const std::string& description() const = 0;
+  virtual double mpp() const = 0;  // microns per pixel at level 0, -1 unknown
+
+  // TIFF-specific raw-tile access (JPEG2000 SVS path); other backends
+  // keep the defaults.
+  virtual int32_t compression() const { return 0; }
+  virtual bool raw_only() const { return false; }
+  virtual int32_t tile_width(int32_t /*level*/) { return 0; }
+  virtual int32_t tile_height(int32_t /*level*/) { return 0; }
+  virtual int64_t read_raw_tile(int32_t /*level*/, int64_t /*x*/, int64_t /*y*/,
+                                void* /*buf*/, int64_t /*bufsize*/) {
+    return -1;
+  }
+
+  // Level-0 region read into caller-provided RGBA buffer (h×w×4, top-left
+  // origin).  Out-of-bounds areas are filled with the background color.
+  virtual int32_t read_region(int64_t x, int64_t y, int64_t w, int64_t h,
+                              void* out) = 0;
+  // Whole-level read into an RGBA buffer of level_height×level_width×4.
+  virtual int32_t read_level(int32_t level, void* out) = 0;
+};
+
+ISlide* open_tiff_slide(const char* path);
+ISlide* open_mirax_slide(const char* path);
+
+// Thread-local human-readable reason for the last open/read failure.
+void set_wsi_error(const std::string& msg);

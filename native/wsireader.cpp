@@ -1,19 +1,24 @@
 // wsireader — native whole-slide-image reader for stamp_tpu.
 //
-// Replaces the OpenSlide dependency of the reference pipeline with a small,
-// self-contained libtiff-based reader for pyramidal TIFF / Aperio SVS files
-// (JPEG / LZW / Deflate compressed; JPEG2000-coded SVS is detected and
-// rejected with a clear error).  Exposed as a C ABI consumed from Python via
-// ctypes (stamp_tpu/preprocessing/wsi.py).
+// Replaces the OpenSlide dependency of the reference pipeline (reference
+// src/stamp/preprocessing/tiling.py:24) with a small, self-contained reader:
+//   * TiffSlide — libtiff-based pyramidal TIFF / Aperio SVS / Hamamatsu NDPI
+//     (JPEG / LZW / Deflate compressed; JPEG2000-coded SVS is exposed through
+//     the raw-tile interface and decoded host-side by Pillow/openjpeg).
+//   * MiraxSlide — 3DHISTECH MIRAX (.mrxs) multi-file container (mirax.cpp).
+// Exposed as a C ABI consumed from Python via ctypes
+// (stamp_tpu/preprocessing/wsi.py).
 //
 // Design notes:
-//  * read_region decodes only the TIFF tiles intersecting the request and
-//    copies them into the caller-provided RGBA buffer — no full-level decode.
+//  * read_region decodes only the tiles intersecting the request and copies
+//    them into the caller-provided RGBA buffer — no full-level decode.
 //  * per-handle state is NOT thread safe (libtiff handles are not); callers
 //    that want parallel reads open one handle per worker thread.  Handles are
 //    cheap (no pixel data is touched at open time).
 //  * pyramid levels are TIFF directories whose aspect ratio matches level 0;
 //    thumbnails read the smallest sufficient level.
+
+#include "islide.h"
 
 #include <tiffio.h>
 
@@ -25,53 +30,13 @@
 
 namespace {
 
+thread_local std::string g_last_error;
+
 struct Level {
   uint16_t dir_index;
   int64_t width;
   int64_t height;
 };
-
-struct Slide {
-  TIFF* tif = nullptr;
-  std::vector<Level> levels;  // sorted by size, levels[0] = full resolution
-  std::string description;
-  double mpp = -1.0;
-  uint16_t compression = 0;   // level-0 compression tag
-  bool raw_only = false;      // codec not configured (e.g. Aperio JPEG2000):
-                              // only raw tile access works; the Python layer
-                              // decodes the codestreams (PIL/openjpeg)
-};
-
-void parse_mpp(Slide* s) {
-  // Aperio SVS: "...|MPP = 0.2529|..."
-  const std::string& d = s->description;
-  size_t pos = d.find("MPP");
-  if (pos != std::string::npos) {
-    pos = d.find('=', pos);
-    if (pos != std::string::npos) {
-      try {
-        double v = std::stod(d.substr(pos + 1));
-        if (v > 0 && v < 1000) {
-          s->mpp = v;
-          return;
-        }
-      } catch (...) {
-      }
-    }
-  }
-  // Generic TIFF resolution tags.
-  TIFFSetDirectory(s->tif, s->levels[0].dir_index);
-  float xres = 0.0f;
-  uint16_t res_unit = RESUNIT_INCH;
-  if (TIFFGetField(s->tif, TIFFTAG_XRESOLUTION, &xres) && xres > 0) {
-    TIFFGetFieldDefaulted(s->tif, TIFFTAG_RESOLUTIONUNIT, &res_unit);
-    if (res_unit == RESUNIT_CENTIMETER) {
-      s->mpp = 10000.0 / xres;  // px per cm → µm per px
-    } else if (res_unit == RESUNIT_INCH) {
-      s->mpp = 25400.0 / xres;
-    }
-  }
-}
 
 bool is_supported_compression(TIFF* tif) {
   uint16_t comp = COMPRESSION_NONE;
@@ -81,22 +46,110 @@ bool is_supported_compression(TIFF* tif) {
   return TIFFIsCODECConfigured(comp) != 0;
 }
 
-}  // namespace
+class TiffSlide : public ISlide {
+ public:
+  static TiffSlide* open(const char* path);
+  ~TiffSlide() override {
+    if (tif_) TIFFClose(tif_);
+  }
 
-extern "C" {
+  int64_t width() const override { return levels_[0].width; }
+  int64_t height() const override { return levels_[0].height; }
+  int32_t level_count() const override { return (int32_t)levels_.size(); }
+  int64_t level_width(int32_t level) const override {
+    if (level < 0 || level >= (int32_t)levels_.size()) return -1;
+    return levels_[level].width;
+  }
+  int64_t level_height(int32_t level) const override {
+    if (level < 0 || level >= (int32_t)levels_.size()) return -1;
+    return levels_[level].height;
+  }
+  const std::string& description() const override { return description_; }
+  double mpp() const override { return mpp_; }
+  int32_t compression() const override { return (int32_t)compression_; }
+  bool raw_only() const override { return raw_only_; }
 
-void* wsi_open(const char* path) {
+  int32_t tile_width(int32_t level) override {
+    if (!set_dir(level) || !TIFFIsTiled(tif_)) return 0;
+    uint32_t tw = 0;
+    TIFFGetField(tif_, TIFFTAG_TILEWIDTH, &tw);
+    return (int32_t)tw;
+  }
+  int32_t tile_height(int32_t level) override {
+    if (!set_dir(level) || !TIFFIsTiled(tif_)) return 0;
+    uint32_t th = 0;
+    TIFFGetField(tif_, TIFFTAG_TILELENGTH, &th);
+    return (int32_t)th;
+  }
+
+  int64_t read_raw_tile(int32_t level, int64_t x, int64_t y, void* buf,
+                        int64_t bufsize) override;
+  int32_t read_region(int64_t x, int64_t y, int64_t w, int64_t h,
+                      void* out) override;
+  int32_t read_level(int32_t level, void* out) override;
+
+ private:
+  bool set_dir(int32_t level) {
+    if (level < 0 || level >= (int32_t)levels_.size()) return false;
+    return TIFFSetDirectory(tif_, levels_[level].dir_index) != 0;
+  }
+  void parse_mpp();
+
+  TIFF* tif_ = nullptr;
+  std::vector<Level> levels_;  // sorted by size, levels[0] = full resolution
+  std::string description_;
+  double mpp_ = -1.0;
+  uint16_t compression_ = 0;  // level-0 compression tag
+  bool raw_only_ = false;     // codec not configured (e.g. Aperio JPEG2000):
+                              // only raw tile access works; the Python layer
+                              // decodes the codestreams (PIL/openjpeg)
+};
+
+void TiffSlide::parse_mpp() {
+  // Aperio SVS: "...|MPP = 0.2529|..."
+  const std::string& d = description_;
+  size_t pos = d.find("MPP");
+  if (pos != std::string::npos) {
+    pos = d.find('=', pos);
+    if (pos != std::string::npos) {
+      try {
+        double v = std::stod(d.substr(pos + 1));
+        if (v > 0 && v < 1000) {
+          mpp_ = v;
+          return;
+        }
+      } catch (...) {
+      }
+    }
+  }
+  // Generic TIFF resolution tags.
+  TIFFSetDirectory(tif_, levels_[0].dir_index);
+  float xres = 0.0f;
+  uint16_t res_unit = RESUNIT_INCH;
+  if (TIFFGetField(tif_, TIFFTAG_XRESOLUTION, &xres) && xres > 0) {
+    TIFFGetFieldDefaulted(tif_, TIFFTAG_RESOLUTIONUNIT, &res_unit);
+    if (res_unit == RESUNIT_CENTIMETER) {
+      mpp_ = 10000.0 / xres;  // px per cm → µm per px
+    } else if (res_unit == RESUNIT_INCH) {
+      mpp_ = 25400.0 / xres;
+    }
+  }
+}
+
+TiffSlide* TiffSlide::open(const char* path) {
   TIFF* tif = TIFFOpen(path, "rm");  // m: no mmap (large files)
-  if (!tif) return nullptr;
+  if (!tif) {
+    set_wsi_error("libtiff could not open the file");
+    return nullptr;
+  }
 
-  Slide* s = new Slide;
-  s->tif = tif;
+  TiffSlide* s = new TiffSlide;
+  s->tif_ = tif;
 
   // Enumerate directories.
   struct DirInfo {
     uint16_t idx;
     int64_t w, h;
-    bool tiled;
   };
   std::vector<DirInfo> dirs;
   uint16_t idx = 0;
@@ -105,19 +158,19 @@ void* wsi_open(const char* path) {
     TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
     TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
     if (w > 0 && h > 0) {
-      dirs.push_back({idx, (int64_t)w, (int64_t)h, TIFFIsTiled(tif) != 0});
+      dirs.push_back({idx, (int64_t)w, (int64_t)h});
     }
     if (idx == 0) {
       char* desc = nullptr;
       if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc) {
-        s->description = desc;
+        s->description_ = desc;
       }
     }
     idx++;
   } while (TIFFReadDirectory(tif));
 
   if (dirs.empty()) {
-    TIFFClose(tif);
+    set_wsi_error("no usable TIFF directories");
     delete s;
     return nullptr;
   }
@@ -132,103 +185,45 @@ void* wsi_open(const char* path) {
     const double a = (double)d.w / (double)d.h;
     // keep directories on the same pyramid (aspect within 5%)
     if (std::abs(a - aspect) / aspect < 0.05) {
-      s->levels.push_back({d.idx, d.w, d.h});
+      s->levels_.push_back({d.idx, d.w, d.h});
     }
   }
-  std::sort(s->levels.begin(), s->levels.end(),
+  std::sort(s->levels_.begin(), s->levels_.end(),
             [](const Level& a, const Level& b) {
               return a.width * a.height > b.width * b.height;
             });
 
-  TIFFSetDirectory(tif, s->levels[0].dir_index);
-  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &s->compression);
+  TIFFSetDirectory(tif, s->levels_[0].dir_index);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &s->compression_);
   if (!is_supported_compression(tif)) {
     // Aperio JPEG2000 (33003/33005) and other unconfigured codecs: keep the
     // handle open for raw tile access; pixel decode happens host-side.
     if (TIFFIsTiled(tif)) {
-      s->raw_only = true;
+      s->raw_only_ = true;
     } else {
-      TIFFClose(tif);
+      set_wsi_error("unsupported TIFF compression on a non-tiled image");
       delete s;
       return nullptr;
     }
   }
 
-  parse_mpp(s);
+  s->parse_mpp();
   return s;
-}
-
-void wsi_close(void* handle) {
-  Slide* s = (Slide*)handle;
-  if (!s) return;
-  if (s->tif) TIFFClose(s->tif);
-  delete s;
-}
-
-int64_t wsi_width(void* handle) { return ((Slide*)handle)->levels[0].width; }
-int64_t wsi_height(void* handle) { return ((Slide*)handle)->levels[0].height; }
-int32_t wsi_level_count(void* handle) {
-  return (int32_t)((Slide*)handle)->levels.size();
-}
-int64_t wsi_level_width(void* handle, int32_t level) {
-  Slide* s = (Slide*)handle;
-  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
-  return s->levels[level].width;
-}
-int64_t wsi_level_height(void* handle, int32_t level) {
-  Slide* s = (Slide*)handle;
-  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
-  return s->levels[level].height;
-}
-const char* wsi_description(void* handle) {
-  return ((Slide*)handle)->description.c_str();
-}
-double wsi_mpp(void* handle) { return ((Slide*)handle)->mpp; }
-int32_t wsi_compression(void* handle) {
-  return (int32_t)((Slide*)handle)->compression;
-}
-int32_t wsi_raw_only(void* handle) {
-  return ((Slide*)handle)->raw_only ? 1 : 0;
-}
-
-// Tile geometry of a level (0 if not tiled).
-int32_t wsi_tile_width(void* handle, int32_t level) {
-  Slide* s = (Slide*)handle;
-  if (level < 0 || level >= (int32_t)s->levels.size()) return 0;
-  if (!TIFFSetDirectory(s->tif, s->levels[level].dir_index)) return 0;
-  if (!TIFFIsTiled(s->tif)) return 0;
-  uint32_t tw = 0;
-  TIFFGetField(s->tif, TIFFTAG_TILEWIDTH, &tw);
-  return (int32_t)tw;
-}
-int32_t wsi_tile_height(void* handle, int32_t level) {
-  Slide* s = (Slide*)handle;
-  if (level < 0 || level >= (int32_t)s->levels.size()) return 0;
-  if (!TIFFSetDirectory(s->tif, s->levels[level].dir_index)) return 0;
-  if (!TIFFIsTiled(s->tif)) return 0;
-  uint32_t th = 0;
-  TIFFGetField(s->tif, TIFFTAG_TILELENGTH, &th);
-  return (int32_t)th;
 }
 
 // Raw (undecoded) tile bytes of tile containing (x, y) at `level`; returns
 // byte count, or -1 on error, or -needed if the buffer is too small.
-int64_t wsi_read_raw_tile(void* handle, int32_t level, int64_t x, int64_t y,
-                          void* buf, int64_t bufsize) {
-  Slide* s = (Slide*)handle;
-  if (level < 0 || level >= (int32_t)s->levels.size()) return -1;
-  TIFF* tif = s->tif;
-  if (!TIFFSetDirectory(tif, s->levels[level].dir_index)) return -1;
-  if (!TIFFIsTiled(tif)) return -1;
-  uint32_t tile_index =
-      TIFFComputeTile(tif, (uint32_t)x, (uint32_t)y, 0, 0);
-  tmsize_t size = TIFFTileSize64(tif);
+int64_t TiffSlide::read_raw_tile(int32_t level, int64_t x, int64_t y, void* buf,
+                                 int64_t bufsize) {
+  if (!set_dir(level) || !TIFFIsTiled(tif_)) return -1;
+  uint32_t tile_index = TIFFComputeTile(tif_, (uint32_t)x, (uint32_t)y, 0, 0);
+  tmsize_t size = TIFFTileSize64(tif_);
   uint64_t* bytecounts = nullptr;
-  if (TIFFGetField(tif, TIFFTAG_TILEBYTECOUNTS, &bytecounts) && bytecounts) {
+  if (TIFFGetField(tif_, TIFFTAG_TILEBYTECOUNTS, &bytecounts) && bytecounts) {
     size = (tmsize_t)bytecounts[tile_index];
   }
   if (size > bufsize) return -(int64_t)size;
-  tmsize_t n = TIFFReadRawTile(tif, tile_index, buf, size);
+  tmsize_t n = TIFFReadRawTile(tif_, tile_index, buf, size);
   return (int64_t)n;
 }
 
@@ -236,13 +231,11 @@ int64_t wsi_read_raw_tile(void* handle, int32_t level, int64_t x, int64_t y,
 // Out-of-bounds areas are filled with opaque white (OpenSlide fills
 // transparent black; white matches the background-rejection expectations of
 // the tiling stage).
-int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
-                        int64_t h, void* out) {
-  Slide* s = (Slide*)handle;
-  if (!s || !out || w <= 0 || h <= 0) return 1;
-  TIFF* tif = s->tif;
-  const Level& lvl = s->levels[0];
-  if (!TIFFSetDirectory(tif, lvl.dir_index)) return 2;
+int32_t TiffSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
+                               void* out) {
+  if (!out || w <= 0 || h <= 0) return 1;
+  const Level& lvl = levels_[0];
+  if (!TIFFSetDirectory(tif_, lvl.dir_index)) return 2;
 
   uint8_t* dst = (uint8_t*)out;
   // background fill: white, opaque
@@ -254,16 +247,16 @@ int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
   const int64_t y1 = std::min<int64_t>(y + h, lvl.height);
   if (x0 >= x1 || y0 >= y1) return 0;  // fully outside
 
-  if (TIFFIsTiled(tif)) {
+  if (TIFFIsTiled(tif_)) {
     uint32_t tw = 0, th = 0;
-    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
-    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    TIFFGetField(tif_, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif_, TIFFTAG_TILELENGTH, &th);
     if (tw == 0 || th == 0) return 3;
 
     std::vector<uint32_t> tile((size_t)tw * th);
     for (int64_t ty = (y0 / th) * th; ty < y1; ty += th) {
       for (int64_t tx = (x0 / tw) * tw; tx < x1; tx += tw) {
-        if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty, tile.data())) {
+        if (!TIFFReadRGBATile(tif_, (uint32_t)tx, (uint32_t)ty, tile.data())) {
           return 4;
         }
         // TIFFReadRGBATile returns bottom-up rows; raster row r corresponds
@@ -283,22 +276,20 @@ int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
   } else {
     // Strip-organized TIFF (e.g. Hamamatsu NDPI).
     uint32_t rows_per_strip = 0;
-    TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
+    TIFFGetFieldDefaulted(tif_, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
     if (rows_per_strip == 0) rows_per_strip = (uint32_t)lvl.height;
     // guard: a single-strip gigapixel level would need an absurd buffer
     if ((uint64_t)lvl.width * rows_per_strip * 4 > (1ull << 32)) return 6;
     std::vector<uint32_t> strip((size_t)lvl.width * rows_per_strip);
     for (int64_t sy = (y0 / rows_per_strip) * rows_per_strip; sy < y1;
          sy += rows_per_strip) {
-      if (!TIFFReadRGBAStrip(tif, (uint32_t)sy, strip.data())) return 5;
-      const int64_t rows =
-          std::min<int64_t>(rows_per_strip, lvl.height - sy);
+      if (!TIFFReadRGBAStrip(tif_, (uint32_t)sy, strip.data())) return 5;
+      const int64_t rows = std::min<int64_t>(rows_per_strip, lvl.height - sy);
       const int64_t cy0 = std::max<int64_t>(sy, y0);
       const int64_t cy1 = std::min<int64_t>(sy + rows, y1);
       for (int64_t iy = cy0; iy < cy1; ++iy) {
         const int64_t raster_row = rows - 1 - (iy - sy);
-        const uint32_t* src_row =
-            strip.data() + raster_row * lvl.width + x0;
+        const uint32_t* src_row = strip.data() + raster_row * lvl.width + x0;
         uint8_t* dst_row = dst + ((iy - y) * w + (x0 - x)) * 4;
         std::memcpy(dst_row, src_row, (size_t)(x1 - x0) * 4);
       }
@@ -308,20 +299,88 @@ int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
 }
 
 // Read an entire pyramid level into out (RGBA, levelheight×levelwidth×4).
-int32_t wsi_read_level(void* handle, int32_t level, void* out) {
-  Slide* s = (Slide*)handle;
-  if (!s || !out || level < 0 || level >= (int32_t)s->levels.size()) return 1;
-  const Level& lvl = s->levels[level];
-  TIFF* tif = s->tif;
-  if (!TIFFSetDirectory(tif, lvl.dir_index)) return 2;
+int32_t TiffSlide::read_level(int32_t level, void* out) {
+  if (!out || level < 0 || level >= (int32_t)levels_.size()) return 1;
+  const Level& lvl = levels_[level];
+  if (!TIFFSetDirectory(tif_, lvl.dir_index)) return 2;
 
   // TIFFReadRGBAImageOriented fills top-left origin directly.
-  if (!TIFFReadRGBAImageOriented(tif, (uint32_t)lvl.width,
+  if (!TIFFReadRGBAImageOriented(tif_, (uint32_t)lvl.width,
                                  (uint32_t)lvl.height, (uint32_t*)out,
                                  ORIENTATION_TOPLEFT, 0)) {
     return 3;
   }
   return 0;
+}
+
+bool has_suffix_ci(const char* path, const char* suffix) {
+  size_t lp = std::strlen(path), ls = std::strlen(suffix);
+  if (lp < ls) return false;
+  for (size_t i = 0; i < ls; ++i) {
+    char a = path[lp - ls + i], b = suffix[i];
+    if (std::tolower((unsigned char)a) != std::tolower((unsigned char)b))
+      return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+void set_wsi_error(const std::string& msg) { g_last_error = msg; }
+
+ISlide* open_tiff_slide(const char* path) { return TiffSlide::open(path); }
+
+extern "C" {
+
+void* wsi_open(const char* path) {
+  set_wsi_error("");
+  if (has_suffix_ci(path, ".mrxs")) return open_mirax_slide(path);
+  return open_tiff_slide(path);
+}
+
+const char* wsi_last_error() { return g_last_error.c_str(); }
+
+void wsi_close(void* handle) { delete (ISlide*)handle; }
+
+int64_t wsi_width(void* handle) { return ((ISlide*)handle)->width(); }
+int64_t wsi_height(void* handle) { return ((ISlide*)handle)->height(); }
+int32_t wsi_level_count(void* handle) {
+  return ((ISlide*)handle)->level_count();
+}
+int64_t wsi_level_width(void* handle, int32_t level) {
+  return ((ISlide*)handle)->level_width(level);
+}
+int64_t wsi_level_height(void* handle, int32_t level) {
+  return ((ISlide*)handle)->level_height(level);
+}
+const char* wsi_description(void* handle) {
+  return ((ISlide*)handle)->description().c_str();
+}
+double wsi_mpp(void* handle) { return ((ISlide*)handle)->mpp(); }
+int32_t wsi_compression(void* handle) {
+  return ((ISlide*)handle)->compression();
+}
+int32_t wsi_raw_only(void* handle) {
+  return ((ISlide*)handle)->raw_only() ? 1 : 0;
+}
+int32_t wsi_tile_width(void* handle, int32_t level) {
+  return ((ISlide*)handle)->tile_width(level);
+}
+int32_t wsi_tile_height(void* handle, int32_t level) {
+  return ((ISlide*)handle)->tile_height(level);
+}
+int64_t wsi_read_raw_tile(void* handle, int32_t level, int64_t x, int64_t y,
+                          void* buf, int64_t bufsize) {
+  return ((ISlide*)handle)->read_raw_tile(level, x, y, buf, bufsize);
+}
+int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
+                        int64_t h, void* out) {
+  if (!handle) return 1;
+  return ((ISlide*)handle)->read_region(x, y, w, h, out);
+}
+int32_t wsi_read_level(void* handle, int32_t level, void* out) {
+  if (!handle) return 1;
+  return ((ISlide*)handle)->read_level(level, out);
 }
 
 }  // extern "C"

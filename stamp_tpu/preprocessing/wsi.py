@@ -46,15 +46,15 @@ class UnsupportedFormatError(Exception):
     The reference opens 12 formats through OpenSlide (reference
     preprocessing/__init__.py:43-56); the TPU-native reader covers the
     TIFF family (SVS incl. JPEG2000, generic pyramidal TIFF, NDPI, QPTIFF,
-    BIF, SCN) plus anything PIL can open.  MIRAX (.mrxs), Zeiss (.czi) and
-    Hamamatsu VMS/VMU are multi-file vendor containers that are not
-    implemented — failing fast with this error beats a cryptic per-slide
-    stack trace.
+    BIF, SCN), 3DHISTECH MIRAX (.mrxs, native/mirax.cpp) plus anything PIL
+    can open.  Zeiss (.czi) and Hamamatsu VMS/VMU are multi-file vendor
+    containers that are not implemented — failing fast with this error
+    beats a cryptic per-slide stack trace.
     """
 
 
 # multi-file vendor containers the native reader does not implement
-UNSUPPORTED_CONTAINER_SUFFIXES = {".mrxs", ".czi", ".vms", ".vmu"}
+UNSUPPORTED_CONTAINER_SUFFIXES = {".czi", ".vms", ".vmu"}
 
 
 class ImageSlide:
@@ -147,6 +147,11 @@ def _load_native() -> ctypes.CDLL | None:
                 lib.wsi_level_width.argtypes = [ctypes.c_void_p, ctypes.c_int32]
                 lib.wsi_level_height.restype = ctypes.c_int64
                 lib.wsi_level_height.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+                try:  # failure-reason channel; absent in older builds
+                    lib.wsi_last_error.restype = ctypes.c_char_p
+                    lib.wsi_last_error.argtypes = []
+                except AttributeError:
+                    pass
                 try:  # raw-tile interface (J2K path); absent in older builds
                     lib.wsi_compression.restype = ctypes.c_int32
                     lib.wsi_compression.argtypes = [ctypes.c_void_p]
@@ -175,7 +180,9 @@ def _load_native() -> ctypes.CDLL | None:
 
 
 class CTiffSlide:
-    """Pyramidal TIFF / SVS slide backed by the native C++ reader."""
+    """Slide backed by the native C++ reader (pyramidal TIFF / SVS / NDPI
+    via libtiff, MIRAX .mrxs via the mirax.cpp backend — wsi_open dispatches
+    on the file type)."""
 
     def __init__(self, path: Path | str) -> None:
         lib = _load_native()
@@ -184,7 +191,11 @@ class CTiffSlide:
         self._lib = lib
         self._handle = lib.wsi_open(str(path).encode())
         if not self._handle:
-            raise RuntimeError(f"could not open slide {path}")
+            reason = ""
+            if hasattr(lib, "wsi_last_error"):
+                raw = lib.wsi_last_error()
+                reason = f": {raw.decode(errors='replace')}" if raw else ""
+            raise RuntimeError(f"could not open slide {path}{reason}")
         self.path = Path(path)
         self.properties: dict[str, str] = {}
         desc = lib.wsi_description(self._handle)
@@ -335,6 +346,18 @@ def open_slide(path: Path | str):
             "supported by the TPU-native reader — convert to pyramidal "
             "TIFF/SVS, or extract this cohort with the reference pipeline."
         )
+    if suffix == ".mrxs":
+        # MIRAX: multi-file container handled entirely by the native reader
+        # (native/mirax.cpp); there is no PIL fallback for it.
+        if _load_native() is None:
+            raise UnsupportedFormatError(
+                f"{path.name}: MIRAX slides need the native reader "
+                "(build native/ with `make`)."
+            )
+        try:
+            return CTiffSlide(path)
+        except RuntimeError as e:
+            raise UnsupportedFormatError(f"{path.name}: {e}") from e
     with open(path, "rb") as fp:
         magic = fp.read(4)
     if suffix == ".ndpi" and magic in (b"II*\x00", b"MM\x00*"):

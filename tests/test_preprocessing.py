@@ -277,11 +277,17 @@ def test_ndpi_like_slide_reads_exactly(tmp_path):
 def test_unsupported_container_raises_named_error(tmp_path):
     from stamp_tpu.preprocessing.wsi import UnsupportedFormatError, open_slide
 
-    for suffix in (".mrxs", ".czi", ".vms", ".vmu"):
+    for suffix in (".czi", ".vms", ".vmu"):
         p = tmp_path / f"slide{suffix}"
         p.write_bytes(b"\x00" * 16)
         with pytest.raises(UnsupportedFormatError, match="not"):
             open_slide(p)
+
+    # a stray .mrxs without its data directory is named loudly too
+    p = tmp_path / "slide.mrxs"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(UnsupportedFormatError, match="Slidedat|native reader"):
+        open_slide(p)
 
 
 def test_extract_skips_unsupported_and_processes_rest(synthetic_slide, tmp_path, caplog):
@@ -295,7 +301,7 @@ def test_extract_skips_unsupported_and_processes_rest(synthetic_slide, tmp_path,
     slide_path, _arr = synthetic_slide
     wsi_dir = tmp_path / "wsis"
     wsi_dir.mkdir()
-    (wsi_dir / "bad.mrxs").write_bytes(b"\x00" * 16)
+    (wsi_dir / "bad.czi").write_bytes(b"\x00" * 16)
     import shutil as _shutil
 
     _shutil.copy(slide_path, wsi_dir / slide_path.name)
@@ -372,3 +378,160 @@ def test_extraction_matches_golden_h5(tmp_path, monkeypatch):
         # tiling or model numerics actually changed.
         np.testing.assert_allclose(p_feats, g_feats, atol=5e-2)
         assert p.attrs["tile_size_um"] == g.attrs["tile_size_um"]
+
+
+# ---------------------------------------------------------------------------
+# MIRAX (.mrxs) — native/mirax.cpp against synthetic fixtures (mirax_util.py)
+# ---------------------------------------------------------------------------
+
+
+def _constant_tile_canvas(n_cams_x, n_cams_y, tile, divisions, overlap, seed=0):
+    """Canvas where every stored tile region is a constant color (JPEG-exact)."""
+    from mirax_util import canvas_size
+
+    rng = np.random.default_rng(seed)
+    w, h = canvas_size(n_cams_x, n_cams_y, tile, divisions, overlap)
+    arr = np.zeros((h, w, 3), np.uint8)
+    cam = tile * divisions
+    adv = cam - overlap
+    # paint whole-camera constant colors so overlap regions stay consistent
+    for cy in range(n_cams_y):
+        for cx in range(n_cams_x):
+            color = rng.integers(30, 220, 3, dtype=np.uint8)
+            x0, y0 = cx * adv, cy * adv
+            arr[y0 : y0 + cam, x0 : x0 + cam] = color
+    return arr
+
+
+
+def _assert_u8_close(actual, desired, tol=1):
+    """JPEG round-trips are exact to DCT rounding (±1/channel); anything
+    larger means the tile stitching/geometry is wrong."""
+    diff = np.abs(actual.astype(int) - desired.astype(int)).max()
+    assert diff <= tol, f"max channel diff {diff} > {tol}"
+
+@pytest.mark.parametrize("divisions,overlap", [(1, 0), (2, 8), (1, 8)])
+def test_mirax_exact_reads(tmp_path, divisions, overlap):
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(3, 2, tile, divisions, overlap)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(path, arr, tile=tile, divisions=divisions, overlap=overlap)
+
+    slide = open_slide(path)
+    assert isinstance(slide, CTiffSlide)
+    assert slide.dimensions == (arr.shape[1], arr.shape[0])
+    assert np.isclose(get_slide_mpp_(slide, default_mpp=None), 0.25)
+
+    # a region crossing camera and tile boundaries decodes exactly
+    region = np.array(slide.read_region((10, 5), 0, (70, 50)))[:, :, :3]
+    _assert_u8_close(region, arr[5:55, 10:80])
+
+    # out-of-bounds fills with the fill color (white)
+    oob = np.array(slide.read_region((arr.shape[1] - 8, 4), 0, (16, 16)))
+    assert (oob[:, 8:, :3] == 255).all()
+
+
+def test_mirax_position_buffer_jitter(tmp_path):
+    """Camera positions come from the position buffer, not the nominal grid."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(3, 2, tile, 1, 0, seed=1)
+    path = tmp_path / "slide.mrxs"
+    # shift camera (1, 0) right+down by (3, 2): its tile must land there
+    write_mirax(path, arr, tile=tile, camera_jitter={(1, 0): (3, 2)})
+
+    slide = open_slide(path)
+    region = np.array(slide.read_region((tile + 3, 2), 0, (tile, tile)))[:, :, :3]
+    # content carved from the jittered anchor must round-trip (±JPEG rounding)
+    _assert_u8_close(region, arr[2 : 2 + tile, tile + 3 : 2 * tile + 3], tol=2)
+
+
+def test_mirax_zlib_positions_and_missing_tiles(tmp_path):
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(2, 2, tile, 1, 0, seed=2)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(
+        path, arr, tile=tile, zlib_positions=True, drop_tiles={(1, 1)}
+    )
+    slide = open_slide(path)
+    full = np.array(slide.read_region((0, 0), 0, slide.dimensions))[:, :, :3]
+    _assert_u8_close(full[:tile, :tile], arr[:tile, :tile])
+    # dropped tile renders as fill color
+    assert (full[tile:, tile:] == 255).all()
+
+
+def test_mirax_grid_fallback_without_position_buffer(tmp_path):
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(2, 2, tile, 1, 4, seed=3)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(path, arr, tile=tile, overlap=4, position_buffer=False)
+    slide = open_slide(path)
+    region = np.array(slide.read_region((0, 0), 0, (48, 48)))[:, :, :3]
+    _assert_u8_close(region, arr[:48, :48])
+
+
+def test_mirax_thumbnail_from_level1(tmp_path):
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(2, 2, tile, 1, 0, seed=4)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(path, arr, tile=tile)
+    slide = open_slide(path)
+    thumb = np.asarray(slide.get_thumbnail((32, 32)).convert("RGB"))
+    ref = np.asarray(
+        Image.fromarray(arr).resize(thumb.shape[:2][::-1], Image.Resampling.BILINEAR)
+    )
+    # thumbnail comes from the downsampled level; colors must match closely
+    assert np.abs(thumb.astype(int) - ref.astype(int)).mean() < 12
+
+
+def test_mirax_extraction_end_to_end(tmp_path):
+    """`stamp preprocess` runs over a .mrxs slide through the normal driver."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 64
+    rng = np.random.default_rng(5)
+    arr = rng.integers(60, 200, (4 * tile, 6 * tile, 3), dtype=np.uint8)
+    wsi_dir = tmp_path / "wsis"
+    wsi_dir.mkdir()
+    write_mirax(wsi_dir / "slide.mrxs", arr, tile=tile, n_levels=1)
+
+    extract_(
+        wsi_dir=wsi_dir,
+        output_dir=tmp_path / "out",
+        wsi_list=None,
+        cache_dir=None,
+        cache_tiles_ext=".jpg",
+        extractor="empty",
+        tile_size_px=64,
+        tile_size_um=16.0,
+        max_workers=2,
+        default_slide_mpp=None,  # MPP must come from Slidedat.ini
+        generate_hash=False,
+    )
+    h5s = list((tmp_path / "out" / "empty").glob("*.h5"))
+    assert len(h5s) == 1
+    with h5py.File(h5s[0]) as f:
+        assert f["coords"].shape[0] > 0
+        assert f.attrs["unit"] == "um"
+
