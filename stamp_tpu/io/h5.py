@@ -128,6 +128,10 @@ def get_coords(feature_h5: h5py.File) -> CoordsInfo:
             "Please reextract them using `stamp preprocess`."
         )
 
+    # historic files may store integer pixel coordinates; the model contract
+    # (and the runtime shape checks) is float µm
+    coords_um = np.asarray(coords_um, dtype=np.float32)
+
     return CoordsInfo(coords_um, tile_size_um, tile_size_px)
 
 

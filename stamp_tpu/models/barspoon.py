@@ -16,6 +16,9 @@ import re
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jaxtyping import ArrayLike, Bool, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 from stamp_tpu.ops.attention import multi_head_attention
 
@@ -104,12 +107,13 @@ class EncDecTransformer(nn.Module):
     supports_coords = True
 
     @nn.compact
+    @shapechecked
     def __call__(
         self,
-        tile_tokens: jax.Array,  # [B, T, F]
+        tile_tokens: Float[ArrayLike, "batch tiles feat"],
         *,
-        coords: jax.Array,  # [B, T, 2]
-        key_mask: jax.Array | None = None,
+        coords: Float[ArrayLike, "batch tiles 2"],
+        key_mask: Bool[ArrayLike, "batch tiles"] | None = None,
         train: bool = False,
         **_: object,
     ) -> dict[str, jax.Array]:

@@ -9,6 +9,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jaxtyping import ArrayLike, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 
 class MLP(nn.Module):
@@ -21,13 +24,16 @@ class MLP(nn.Module):
     supports_coords = False
 
     @nn.compact
+    @shapechecked
     def __call__(
-        self, x: jax.Array, *, train: bool = False, **_: object
-    ) -> jax.Array:
+        self,
+        x: Float[ArrayLike, "batch feat"] | Float[ArrayLike, "batch tiles feat"],
+        *,
+        train: bool = False,
+        **_: object,
+    ) -> Float[ArrayLike, "batch out"]:
         if x.ndim == 3:
             x = jnp.mean(x, axis=1)
-        elif x.ndim != 2:
-            raise ValueError(f"Expected 2D or 3D input, got {x.shape}")
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.dim_hidden, name=f"fc{i}")(x)
             x = nn.relu(x)
@@ -46,13 +52,16 @@ class Linear(nn.Module):
     supports_coords = False
 
     @nn.compact
+    @shapechecked
     def __call__(
-        self, x: jax.Array, *, train: bool = False, **_: object
-    ) -> jax.Array:
+        self,
+        x: Float[ArrayLike, "batch feat"] | Float[ArrayLike, "batch tiles feat"],
+        *,
+        train: bool = False,
+        **_: object,
+    ) -> Float[ArrayLike, "batch out"]:
         if x.ndim == 3:
             x = jnp.mean(x, axis=1)
-        elif x.ndim != 2:
-            raise ValueError(f"Expected 2D or 3D input, got {x.shape}")
         return nn.Dense(self.dim_output, name="fc")(x)
 
     @staticmethod

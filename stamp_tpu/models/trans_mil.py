@@ -16,6 +16,9 @@ import math
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jaxtyping import ArrayLike, Float
+
+from stamp_tpu.utils.shapecheck import shapechecked
 
 
 def moore_penrose_iter_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
@@ -180,13 +183,14 @@ class TransMIL(nn.Module):
     supports_coords = False
 
     @nn.compact
+    @shapechecked
     def __call__(
         self,
-        h: jax.Array,  # [B, T, F]
+        h: Float[ArrayLike, "batch tiles feat"],
         *,
         train: bool = False,
         **_: object,
-    ) -> jax.Array:
+    ) -> Float[ArrayLike, "batch out"]:
         h = nn.Dense(self.dim_hidden, name="fc1")(h)
         h = nn.relu(h)
 

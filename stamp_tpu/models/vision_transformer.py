@@ -23,12 +23,14 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jaxtyping import ArrayLike, Bool, Float
 
 from stamp_tpu.ops.attention import (
     alibi_attention,
     multi_head_attention,
     pairwise_distances,
 )
+from stamp_tpu.utils.shapecheck import shapechecked
 
 # Above this many tiles, attention switches to the fused Pallas flash
 # kernels (O(T·D) memory instead of a [T,T] weight matrix) when running on
@@ -335,15 +337,16 @@ class VisionTransformer(nn.Module):
     supports_coords = True
 
     @nn.compact
+    @shapechecked
     def __call__(
         self,
-        bags: jax.Array,  # [B, T, F]
+        bags: Float[ArrayLike, "batch tiles feat"],
         *,
-        coords: jax.Array,  # [B, T, 2]
-        key_mask: jax.Array | None = None,  # [B, T] True = valid tile
+        coords: Float[ArrayLike, "batch tiles 2"],
+        key_mask: Bool[ArrayLike, "batch tiles"] | None = None,  # True = valid tile
         train: bool = False,
         sow_weights: bool = False,
-    ) -> jax.Array:
+    ) -> Float[ArrayLike, "batch out"]:
         batch_size = bags.shape[0]
 
         # project_features: Linear → GELU → Dropout

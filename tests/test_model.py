@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jaxtyping import TypeCheckError
 
 from stamp_tpu.models.barspoon import EncDecTransformer
 from stamp_tpu.models.mlp import MLP, Linear
@@ -109,7 +110,8 @@ def test_mlp_and_linear(bags_coords):
         vs = m.init(RNG, bags)
         assert m.apply(vs, bags).shape == (B, 2)  # bag input mean-pooled
         assert m.apply(vs, bags[:, 0]).shape == (B, 2)  # vector input
-        with pytest.raises(ValueError):
+        # wrong rank now rejected by the runtime shape checker
+        with pytest.raises(TypeCheckError):
             m.apply(vs, bags[None])
 
 
@@ -135,3 +137,30 @@ def test_barspoon_multi_target(bags_coords):
     assert set(out.keys()) == {"KRAS", "BRAF"}
     assert out["KRAS"].shape == (B, 2)
     assert out["BRAF"].shape == (B, 3)
+
+
+def test_model_runtime_shape_checking(bags_coords):
+    """Package-wide runtime checking (reference beartypes the whole package,
+    src/stamp/__init__.py:1-9): wrong-shape calls raise a typed error at the
+    model boundary, before any device dispatch."""
+    bags, coords = bags_coords
+    m = VisionTransformer(
+        dim_output=2, dim_input=F, dim_model=32, n_layers=1, n_heads=2,
+        dim_feedforward=32,
+    )
+    vs = m.init({"params": RNG}, bags, coords=coords)
+
+    # tile-count mismatch between bags and coords
+    with pytest.raises(TypeCheckError):
+        m.apply(vs, bags, coords=coords[:, :-1])
+    # wrong coords rank
+    with pytest.raises(TypeCheckError):
+        m.apply(vs, bags, coords=coords[..., 0])
+    # integer bags are not Float
+    with pytest.raises(TypeCheckError):
+        m.apply(vs, bags.astype(jnp.int32), coords=coords)
+
+    tm = TransMIL(dim_output=2, dim_input=F, dim_hidden=32)
+    tvs = tm.init(RNG, bags)
+    with pytest.raises(TypeCheckError):
+        tm.apply(tvs, bags[:, 0])  # missing tile axis
