@@ -100,6 +100,7 @@ def main():
         dim: int
         num_heads: int
         qkv_bias: bool
+        quant: str = "off"
 
         @nn.compact
         def __call__(self, x):

@@ -45,6 +45,11 @@ class ViTConfig:
     # normalization applied on device before the backbone
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # block-Dense precision: "off" = bf16 everywhere; "observe" = bf16 +
+    # record per-matmul activation maxima (calibration pass); "int8" = W8A8
+    # MXU matmuls with per-out-channel weight scales and static (calibrated)
+    # per-tensor activation scales.  See `quantize_vit_params`.
+    quant: Literal["off", "observe", "int8"] = "off"
     extra: dict[str, Any] = field(default_factory=dict)
 
     @property
@@ -70,16 +75,91 @@ def _use_fused_attention() -> bool:
     return jax.default_backend() != "cpu"
 
 
+class QuantDense(nn.Module):
+    """Dense layer with an optional int8 (W8A8) inference path.
+
+    Parameter tree matches ``nn.Dense`` exactly in "off"/"observe" modes
+    ("kernel", "bias"), so the torch weight converters are unaffected.  In
+    "int8" mode the tree holds "kernel_q" (int8, pre-quantized per output
+    channel by `quantize_vit_params`), "w_scale" (f32 per-channel dequant
+    scale) and "bias"; the static per-tensor activation scale comes from the
+    "act_stats" collection recorded during an "observe" calibration pass.
+
+    Why static scales: a *dynamic* per-batch activation max costs an extra
+    full read of the activation (plus a reduce) per matmul — measured slower
+    than bf16 end-to-end (ROADMAP.md int8 negative result).  With static
+    scales the quantize is a pure elementwise epilogue that XLA fuses into
+    the producing op, and the int8 operand halves the matmul's HBM traffic
+    while doubling MXU throughput (v5e: 394 int8 TOPS vs 197 bf16 TFLOPS).
+    """
+
+    features: int
+    use_bias: bool = True
+    mode: str = "off"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_in = x.shape[-1]
+        if self.mode in ("off", "observe"):
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+            )
+            if self.mode == "observe":
+                amax = self.variable(
+                    "act_stats", "amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            y = x @ kernel.astype(x.dtype)
+        else:  # int8
+            kernel_q = self.param(
+                "kernel_q",
+                lambda rng, shape: jnp.zeros(shape, jnp.int8),
+                (d_in, self.features),
+            )
+            w_scale = self.param(
+                "w_scale", nn.initializers.ones, (self.features,)
+            )
+            amax = self.variable(
+                "act_stats", "amax", lambda: jnp.ones((), jnp.float32)
+            )
+            # 5% headroom over the calibration max; harder clipping hurts
+            # more than the extra quantization step costs
+            s_x = jnp.maximum(amax.value, 1e-6) * 1.05
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (127.0 / s_x)), -127, 127
+            ).astype(jnp.int8)
+            y_i32 = jax.lax.dot_general(
+                xq,
+                kernel_q,
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                y_i32.astype(jnp.float32)
+                * (s_x / 127.0)
+                * w_scale.astype(jnp.float32)
+            ).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class _Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = QuantDense(
+            3 * self.dim, use_bias=self.qkv_bias, mode=self.quant, name="qkv"
+        )(x)
         if _use_fused_attention():
             # all-head VMEM-resident attention straight off the packed qkv
             # projection: avoids both the [B, H, N, D] relayout and the
@@ -101,19 +181,20 @@ class _Attention(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return QuantDense(self.dim, mode=self.quant, name="proj")(out)
 
 
 class _Mlp(nn.Module):
     dim: int
     hidden: int
     act: str
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = QuantDense(self.hidden, mode=self.quant, name="fc1")(x)
         x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.silu(x)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return QuantDense(self.dim, mode=self.quant, name="fc2")(x)
 
 
 class _SwiGLU(nn.Module):
@@ -124,16 +205,17 @@ class _SwiGLU(nn.Module):
     dim: int
     hidden: int
     use_norm: bool = True
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x12 = nn.Dense(self.hidden, name="fc1")(x)
+        x12 = QuantDense(self.hidden, mode=self.quant, name="fc1")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
         if self.use_norm:
             # timm SwiGLUPacked has a norm before the output projection
             x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return QuantDense(self.dim, mode=self.quant, name="fc2")(x)
 
 
 class _Block(nn.Module):
@@ -143,7 +225,9 @@ class _Block(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1")(x)
-        h = _Attention(cfg.embed_dim, cfg.num_heads, cfg.qkv_bias, name="attn")(h)
+        h = _Attention(
+            cfg.embed_dim, cfg.num_heads, cfg.qkv_bias, cfg.quant, name="attn"
+        )(h)
         if cfg.init_values is not None:
             gamma1 = self.param(
                 "ls1_gamma",
@@ -156,9 +240,9 @@ class _Block(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.ffn == "swiglu":
-            h = _SwiGLU(cfg.embed_dim, hidden, name="mlp")(h)
+            h = _SwiGLU(cfg.embed_dim, hidden, quant=cfg.quant, name="mlp")(h)
         else:
-            h = _Mlp(cfg.embed_dim, hidden, cfg.act, name="mlp")(h)
+            h = _Mlp(cfg.embed_dim, hidden, cfg.act, quant=cfg.quant, name="mlp")(h)
         if cfg.init_values is not None:
             gamma2 = self.param(
                 "ls2_gamma",
@@ -238,6 +322,62 @@ class ImageViT(nn.Module):
             # virchow-full: CLS ⧺ mean(patch tokens) (virchow_full.py docs)
             return jnp.concatenate([x[:, 0], x[:, n_prefix:].mean(axis=1)], axis=-1)
         raise ValueError(cfg.pool)
+
+
+# ---------------------------------------------------------------------------
+# int8 (W8A8) post-training quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_vit_params(params: dict, cfg: ViTConfig) -> dict:
+    """Pre-quantize the block Dense kernels to int8 per output channel.
+
+    Maps the bf16/f32 parameter tree of an ``ImageViT(cfg)`` onto the tree
+    expected by ``ImageViT(cfg with quant="int8")``: every QuantDense site
+    (block_*/attn/{qkv,proj}, block_*/mlp/{fc1,fc2}) gets
+    ``kernel_q = round(kernel / w_scale)`` (int8) and
+    ``w_scale = max|kernel[:, n]| / 127`` (f32).  Patch embed, LayerNorms,
+    LayerScale, biases and the attention math itself stay in bf16.
+    """
+
+    def quant_kernel(leaf_parent: dict) -> dict:
+        # jnp (not np) so pre-quantization of device-resident weights happens
+        # on-device instead of pulling gigabytes to the host
+        kernel = jnp.asarray(leaf_parent["kernel"], dtype=jnp.float32)
+        s = jnp.maximum(jnp.abs(kernel).max(axis=0), 1e-8) / 127.0
+        kq = jnp.clip(jnp.round(kernel / s), -127, 127).astype(jnp.int8)
+        out = {"kernel_q": kq, "w_scale": s}
+        if "bias" in leaf_parent:
+            out["bias"] = leaf_parent["bias"]
+        return out
+
+    new_params = dict(params)
+    for i in range(cfg.depth):
+        block = dict(new_params[f"block_{i}"])
+        attn = dict(block["attn"])
+        attn["qkv"] = quant_kernel(attn["qkv"])
+        attn["proj"] = quant_kernel(attn["proj"])
+        block["attn"] = attn
+        mlp = dict(block["mlp"])
+        mlp["fc1"] = quant_kernel(mlp["fc1"])
+        mlp["fc2"] = quant_kernel(mlp["fc2"])
+        block["mlp"] = mlp
+        new_params[f"block_{i}"] = block
+    return new_params
+
+
+def calibrate_act_stats(
+    cfg: ViTConfig, variables: dict, images: jax.Array
+) -> dict:
+    """One observe-mode forward recording per-matmul activation maxima.
+
+    Returns the ``act_stats`` collection to pass alongside the quantized
+    params.  ``images`` must already be normalized like the real input
+    (a single representative batch is enough — activations of LayerNorm-fed
+    matmuls are distribution-stable across tile batches)."""
+    observe = ImageViT(ViTConfig(**{**cfg.__dict__, "quant": "observe"}))
+    _, mut = observe.apply(variables, images, mutable=["act_stats"])
+    return jax.tree_util.tree_map(jnp.asarray, mut["act_stats"])
 
 
 # ---------------------------------------------------------------------------

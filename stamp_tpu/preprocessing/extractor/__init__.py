@@ -175,6 +175,51 @@ def make_vit_extractor(
                 jnp.float32
             )
 
+    # --- opt-in W8A8 int8 inference (STAMP_INT8_EXTRACTION=1) --------------
+    # Per-out-channel int8 weights + static per-tensor activation scales
+    # calibrated on the first real tile batch; ~2× matmul throughput on the
+    # int8 MXU at a small feature error (see ROADMAP.md / test_int8_quant).
+    # Off by default: bf16 matches the reference's fp16 numeric contract.
+    int8_state: dict = {}
+    use_int8 = os.environ.get("STAMP_INT8_EXTRACTION") == "1"
+    if use_int8 and n_dev > 1:
+        _logger.warning(
+            f"{identifier}: STAMP_INT8_EXTRACTION is single-chip only for "
+            "now; falling back to bf16 on the multi-chip mesh"
+        )
+        use_int8 = False
+    if use_int8:
+        _logger.warning(
+            f"{identifier}: int8 (W8A8) inference enabled — features will "
+            "deviate slightly from the fp16/bf16 reference output"
+        )
+        from stamp_tpu.models.vit_image import quantize_vit_params
+
+        cfg_observe = ViTConfig(**{**cfg.__dict__, "quant": "observe"})
+        cfg_int8 = ViTConfig(**{**cfg.__dict__, "quant": "int8"})
+
+        @jax.jit
+        def _calibrate_impl(variables, images_u8: jax.Array):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = ImageViT(cfg_observe).apply(
+                variables, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8_impl(qvars, images_u8: jax.Array) -> jax.Array:
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return ImageViT(cfg_int8).apply(qvars, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
+
+        def _forward_quantized(images_u8: jax.Array) -> jax.Array:
+            if "qvars" not in int8_state:
+                act_stats = _calibrate_impl(variables, images_u8)
+                qparams = quantize_vit_params(variables["params"], cfg)
+                int8_state["qvars"] = {"params": qparams, "act_stats": act_stats}
+            return _forward_int8_impl(int8_state["qvars"], images_u8)
+
     def _forward(images_u8: jax.Array) -> jax.Array:
         return _forward_impl(variables, images_u8)
 
@@ -195,6 +240,8 @@ def make_vit_extractor(
             batch = np.concatenate(
                 [batch, np.zeros((pad_to - n, *batch.shape[1:]), batch.dtype)]
             )
+        if use_int8:
+            return _forward_quantized(jnp.asarray(batch))[:n]
         return _forward_impl(variables, jnp.asarray(batch))[:n]
 
     return Extractor(
