@@ -180,14 +180,10 @@ def make_vit_extractor(
     # calibrated on the first real tile batch; ~2× matmul throughput on the
     # int8 MXU at a small feature error (see ROADMAP.md / test_int8_quant).
     # Off by default: bf16 matches the reference's fp16 numeric contract.
+    # Works on the dp mesh too: weights replicated, batch sharded — the
+    # calibration maxima all-reduce across chips automatically under jit.
     int8_state: dict = {}
     use_int8 = os.environ.get("STAMP_INT8_EXTRACTION") == "1"
-    if use_int8 and n_dev > 1:
-        _logger.warning(
-            f"{identifier}: STAMP_INT8_EXTRACTION is single-chip only for "
-            "now; falling back to bf16 on the multi-chip mesh"
-        )
-        use_int8 = False
     if use_int8:
         _logger.warning(
             f"{identifier}: int8 (W8A8) inference enabled — features will "
@@ -198,7 +194,20 @@ def make_vit_extractor(
         cfg_observe = ViTConfig(**{**cfg.__dict__, "quant": "observe"})
         cfg_int8 = ViTConfig(**{**cfg.__dict__, "quant": "int8"})
 
-        @jax.jit
+        if n_dev > 1:
+            _int8_jit = functools.partial(
+                jax.jit,
+                in_shardings=(repl, batch_sharding),
+                out_shardings=batch_sharding,
+            )
+            _calib_jit = functools.partial(
+                jax.jit, in_shardings=(repl, batch_sharding)
+            )
+        else:
+            _int8_jit = jax.jit
+            _calib_jit = jax.jit
+
+        @_calib_jit
         def _calibrate_impl(variables, images_u8: jax.Array):
             x = (images_u8.astype(jnp.float32) - mean) / std
             _, mut = ImageViT(cfg_observe).apply(
@@ -206,7 +215,7 @@ def make_vit_extractor(
             )
             return mut["act_stats"]
 
-        @jax.jit
+        @_int8_jit
         def _forward_int8_impl(qvars, images_u8: jax.Array) -> jax.Array:
             x = (images_u8.astype(jnp.float32) - mean) / std
             return ImageViT(cfg_int8).apply(qvars, x.astype(jnp.bfloat16)).astype(
