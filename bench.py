@@ -12,7 +12,7 @@ Headline path: the framework's maximum-throughput extraction mode — int8
 W8A8 (per-out-channel int8 weights + static per-tensor activation scales;
 opt-in via STAMP_INT8_EXTRACTION=1, see preprocessing/extractor/__init__.py).
 The metric name carries the precision label; the bf16 numeric-parity path
-measures 362.8 tiles/s on the same chip (scripts/int8_probe.py) and is used
+measures 377.2 tiles/s on the same chip (scripts/int8_probe.py) and is used
 as fallback if the int8 path fails.  Activation scales are fixed constants
 here — scale *values* do not affect throughput; the product path calibrates
 them on the first real tile batch.
@@ -126,7 +126,7 @@ def main() -> None:
         tps = measure(
             "int8", ImageViT(cfg_q), {"params": qparams, "act_stats": act_stats}
         )
-        label = "int8 W8A8 (opt-in; bf16 parity path: 362.8 t/s)"
+        label = "int8 W8A8 (opt-in; bf16 parity path: 377.2 t/s)"
     except Exception as e:  # pragma: no cover - fallback for robustness
         print(f"int8 path failed ({e}); falling back to bf16", file=sys.stderr)
         tps = measure("bf16", ImageViT(cfg), variables)
