@@ -1,10 +1,16 @@
 """Slide/patient encoder abstraction.
 
 Behavioral parity with the reference Encoder base
-(src/stamp/encoding/encoder/__init__.py:29-250): template methods with
-skip-if-exists idempotency, hash-named output directories, input validation
-of the required tile extractor (with hash-suffix stripping), and atomic h5
-writes carrying {encoder, precision, feat_type} attrs.
+(src/stamp/encoding/encoder/__init__.py:29-250): skip-if-exists idempotency,
+hash-named output directories, input validation of the required tile
+extractor (with hash-suffix stripping), and atomic h5 writes carrying
+{encoder, precision, feat_type} attrs.
+
+Own shape: slide- and patient-mode encoding are expressed as one worklist —
+``_EncodeJob``s of (description, output path, input h5 files) — drained by a
+single ``_run_jobs`` loop, instead of two parallel template-method bodies.
+Subclasses only provide the embedding functions (and may override the
+``encode_*_`` entry points entirely, e.g. EAGLE's dual-feature-dir variant).
 """
 
 from __future__ import annotations
@@ -13,7 +19,9 @@ import logging
 import os
 import re
 from abc import ABC, abstractmethod
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Callable, Iterable
 
 import h5py
 import numpy as np
@@ -28,6 +36,29 @@ from stamp_tpu.utils.cache import get_processing_code_hash
 
 _logger = logging.getLogger("stamp")
 
+_HASH_SUFFIX = re.compile(r"^[0-9a-fA-F]{6,}$")
+
+
+def _resolve_extractor_name(name: str) -> str:
+    """Strip a trailing code-hash suffix from an extractor id
+    (reference encoder/__init__.py:235-250)."""
+    if not name:
+        raise ValueError("Empty extractor name")
+    name = str(name).strip()
+    base, dash, suffix = name.rpartition("-")
+    if dash and _HASH_SUFFIX.match(suffix):
+        return base
+    return name
+
+
+@dataclass(frozen=True)
+class _EncodeJob:
+    """One unit of encoding work: n input h5 files → one output h5."""
+
+    description: str  # progress-bar label (slide stem / patient id)
+    output_path: Path
+    input_h5s: tuple[Path, ...]
+
 
 class Encoder(ABC):
     def __init__(
@@ -41,6 +72,8 @@ class Encoder(ABC):
         self.precision = precision
         self.required_extractors = required_extractors
 
+    # -- public entry points -------------------------------------------------
+
     def encode_slides_(
         self,
         output_dir: Path,
@@ -51,41 +84,23 @@ class Encoder(ABC):
     ) -> None:
         """Encode every tile-feature h5 under ``feat_dir`` into one
         slide-level feature file."""
-        if generate_hash:
-            encode_dir_name = (
-                f"{self.identifier}-slide-"
-                f"{get_processing_code_hash(Path(__file__))[:8]}"
-            )
-        else:
-            encode_dir_name = f"{self.identifier}-slide"
-        encode_dir = output_dir / encode_dir_name
-        os.makedirs(encode_dir, exist_ok=True)
+        encode_dir = self._make_output_dir(output_dir, "slide", generate_hash)
 
-        h5_files = [p for p in feat_dir.rglob("*.h5")]
-        for h5_path in (progress := tqdm(h5_files)):
-            slide_name: str = h5_path.stem
-            progress.set_description(slide_name)
-
-            relative_path = h5_path.relative_to(feat_dir)
-            output_path = (encode_dir / relative_path).with_suffix(".h5")
-            if output_path.exists():
-                _logger.info(
-                    f"skipping {slide_name} because {output_path} already exists"
+        def jobs() -> Iterable[_EncodeJob]:
+            for h5_path in sorted(feat_dir.rglob("*.h5")):
+                out = (encode_dir / h5_path.relative_to(feat_dir)).with_suffix(
+                    ".h5"
                 )
-                continue
+                yield _EncodeJob(h5_path.stem, out, (h5_path,))
 
-            try:
-                feats, coords = self._validate_and_read_features(str(h5_path))
-            except ValueError as e:
-                tqdm.write(str(e))
-                continue
+        def embed(
+            feats_list: list[np.ndarray], coords_list: list[CoordsInfo]
+        ) -> np.ndarray:
+            return self._generate_slide_embedding(
+                feats_list[0], device, coords=coords_list[0]
+            )
 
-            slide_embedding = self._generate_slide_embedding(
-                feats, device, coords=coords
-            )
-            self._save_features_(
-                output_path=output_path, feats=slide_embedding, feat_type="slide"
-            )
+        self._run_jobs(list(jobs()), embed, feat_type="slide")
 
     def encode_patients_(
         self,
@@ -99,49 +114,73 @@ class Encoder(ABC):
         **kwargs,
     ) -> None:
         """Encode all of a patient's slides into one patient-level feature."""
-        if generate_hash:
-            encode_dir_name = (
-                f"{self.identifier}-pat-{get_processing_code_hash(Path(__file__))[:8]}"
-            )
-        else:
-            encode_dir_name = f"{self.identifier}-pat"
-        encode_dir = output_dir / encode_dir_name
-        os.makedirs(encode_dir, exist_ok=True)
+        encode_dir = self._make_output_dir(output_dir, "pat", generate_hash)
 
         slide_table = read_table(slide_table_path)
-        patient_groups = slide_table.groupby(patient_label)
+        jobs = [
+            _EncodeJob(
+                str(patient_id),
+                (encode_dir / str(patient_id)).with_suffix(".h5"),
+                tuple(
+                    Path(feat_dir) / filename
+                    for filename in group[filename_label]
+                ),
+            )
+            for patient_id, group in slide_table.groupby(patient_label)
+        ]
 
-        for patient_id, group in (progress := tqdm(patient_groups)):
-            progress.set_description(str(patient_id))
+        def embed(
+            feats_list: list[np.ndarray], coords_list: list[CoordsInfo]
+        ) -> np.ndarray:
+            return self._generate_patient_embedding(feats_list, device, **kwargs)
 
-            output_path = (encode_dir / str(patient_id)).with_suffix(".h5")
-            if output_path.exists():
+        self._run_jobs(jobs, embed, feat_type="patient")
+
+    # -- the shared worklist loop --------------------------------------------
+
+    def _run_jobs(
+        self,
+        jobs: list[_EncodeJob],
+        embed: Callable[[list[np.ndarray], list[CoordsInfo]], np.ndarray],
+        *,
+        feat_type: str,
+    ) -> None:
+        progress = tqdm(jobs)
+        for job in progress:
+            progress.set_description(job.description)
+            if job.output_path.exists():
                 _logger.info(
-                    f"skipping {patient_id} because {output_path} already exists"
+                    f"skipping {job.description} because "
+                    f"{job.output_path} already exists"
                 )
                 continue
 
-            feats_list = []
-            for _, row in group.iterrows():
-                slide_filename = row[filename_label]
-                h5_path = os.path.join(feat_dir, slide_filename)
+            feats_list: list[np.ndarray] = []
+            coords_list: list[CoordsInfo] = []
+            for h5_path in job.input_h5s:
                 try:
-                    feats, _coords = self._validate_and_read_features(h5_path)
+                    feats, coords = self._validate_and_read_features(
+                        str(h5_path)
+                    )
                 except (FileNotFoundError, ValueError, OSError) as e:
-                    tqdm.write(f"Skipping {slide_filename}: {e}")
+                    tqdm.write(f"Skipping {h5_path.name}: {e}")
                     continue
                 feats_list.append(feats)
+                coords_list.append(coords)
 
             if not feats_list:
-                tqdm.write(f"No features found for patient {patient_id}, skipping.")
+                tqdm.write(
+                    f"No usable features for {job.description}, skipping."
+                )
                 continue
 
-            patient_embedding = self._generate_patient_embedding(
-                feats_list, device, **kwargs
-            )
             self._save_features_(
-                output_path=output_path, feats=patient_embedding, feat_type="patient"
+                output_path=job.output_path,
+                feats=embed(feats_list, coords_list),
+                feat_type=feat_type,
             )
+
+    # -- subclass contract ---------------------------------------------------
 
     @abstractmethod
     def _generate_slide_embedding(
@@ -153,11 +192,25 @@ class Encoder(ABC):
         self, feats_list: list, device, **kwargs
     ) -> np.ndarray: ...
 
+    # -- shared building blocks (also used by subclass overrides) ------------
+
+    def _make_output_dir(
+        self, output_dir: Path, kind: str, generate_hash: bool
+    ) -> Path:
+        """``<output_dir>/<encoder>-<kind>[-<codehash8>]``, created."""
+        name = f"{self.identifier}-{kind}"
+        if generate_hash:
+            name += f"-{get_processing_code_hash(Path(__file__))[:8]}"
+        encode_dir = output_dir / name
+        os.makedirs(encode_dir, exist_ok=True)
+        return encode_dir
+
     def _validate_and_read_features(
         self, h5_path: str
     ) -> tuple[np.ndarray, CoordsInfo]:
         feats, coords, extractor = self._read_h5(h5_path)
-        if extractor not in [str(e) for e in self.required_extractors]:
+        accepted = {str(e) for e in self.required_extractors}
+        if extractor not in accepted:
             raise ValueError(
                 f"Features must be extracted with one of "
                 f"{self.required_extractors}. Features located in {h5_path} "
@@ -166,20 +219,23 @@ class Encoder(ABC):
         return feats, coords
 
     def _read_h5(self, h5_path: str) -> tuple[np.ndarray, CoordsInfo, str]:
-        if not os.path.exists(h5_path):
+        path = Path(h5_path)
+        if not path.exists():
             raise FileNotFoundError(f"File does not exist: {h5_path}")
-        elif not h5_path.endswith(".h5"):
-            raise ValueError(f"File is not of type .h5: {os.path.basename(h5_path)}")
-        with h5py.File(h5_path, "r") as f:
-            feats = np.asarray(f["feats"]).astype(np.float32)
-            coords = get_coords(f)
+        if path.suffix != ".h5":
+            raise ValueError(f"File is not of type .h5: {path.name}")
+        with h5py.File(path, "r") as f:
             extractor = str(f.attrs.get("extractor", ""))
-            if extractor == "":
+            if not extractor:
                 raise ValueError(
                     "Feature file does not have extractor's name in the "
-                    f"metadata: {os.path.basename(h5_path)}"
+                    f"metadata: {path.name}"
                 )
-            return feats, coords, _resolve_extractor_name(extractor)
+            return (
+                np.asarray(f["feats"]).astype(np.float32),
+                get_coords(f),
+                _resolve_extractor_name(extractor),
+            )
 
     def _save_features_(
         self, *, output_path: Path, feats: np.ndarray, feat_type: str
@@ -193,20 +249,3 @@ class Encoder(ABC):
             code_hash=get_processing_code_hash(Path(__file__))[:8],
         )
         _logger.debug(f"saved features to {output_path}")
-
-
-_HASH_RE = re.compile(r"^[0-9a-fA-F]{6,}$")
-
-
-def _resolve_extractor_name(name: str) -> str:
-    """Strip a trailing code-hash suffix from an extractor id
-    (reference encoder/__init__.py:235-250)."""
-    if not name:
-        raise ValueError("Empty extractor name")
-    name = str(name).strip()
-    if "-" not in name:
-        return name
-    base, suffix = name.rsplit("-", 1)
-    if _HASH_RE.match(suffix):
-        return base
-    return name
