@@ -244,6 +244,7 @@ class MiraxSlide : public ISlide {
   std::vector<std::string> fnames_;  // data file names
   std::vector<MiraxLevel> levels_;
   std::vector<int64_t> cam_x_, cam_y_;  // camera positions (level-0 px)
+  double max_dev_x_ = 0, max_dev_y_ = 0;  // worst |anchor − nominal| (lvl 0)
   std::string description_;
   double mpp_ = -1.0;
   uint8_t fill_r_ = 255, fill_g_ = 255, fill_b_ = 255;
@@ -590,6 +591,28 @@ MiraxSlide* MiraxSlide::open(const char* path) {
     L.width = (int64_t)std::ceil(w0 / L.downsample);
     L.height = (int64_t)std::ceil(h0 / L.downsample);
   }
+
+  // worst-case deviation of actual level-0 anchors from the nominal grid —
+  // read_region uses it to bound its candidate-tile scan window exactly
+  {
+    const MiraxLevel& L0 = s->levels_[0];
+    const double adv_x = std::max(
+        1.0, L0.grid_nx > 1 ? (double)(w0 - L0.tile_w) / (L0.grid_nx - 1)
+                            : (double)L0.tile_w);
+    const double adv_y = std::max(
+        1.0, L0.grid_ny > 1 ? (double)(h0 - L0.tile_h) / (L0.grid_ny - 1)
+                            : (double)L0.tile_h);
+    for (int64_t gy = 0; gy < L0.grid_ny; ++gy) {
+      for (int64_t gx = 0; gx < L0.grid_nx; ++gx) {
+        const MiraxTile& t = L0.tiles[(size_t)gy * L0.grid_nx + gx];
+        if (!t.present) continue;
+        s->max_dev_x_ =
+            std::max(s->max_dev_x_, std::abs(t.x - gx * adv_x));
+        s->max_dev_y_ =
+            std::max(s->max_dev_y_, std::abs(t.y - gy * adv_y));
+      }
+    }
+  }
   return s;
 }
 
@@ -636,22 +659,26 @@ int32_t MiraxSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
     dst[i * 4 + 3] = 0xFF;
   }
   const MiraxLevel& L = levels_[0];
-  // tiles can deviate from the nominal grid by up to one tile size (stage
-  // positioning); scan the nominal index range expanded by one.
-  const double adv_x =
-      L.grid_nx > 1 ? (double)(width() - L.tile_w) / (L.grid_nx - 1)
-                    : (double)L.tile_w;
-  const double adv_y =
-      L.grid_ny > 1 ? (double)(height() - L.tile_h) / (L.grid_ny - 1)
-                    : (double)L.tile_h;
+  // Tiles deviate from the nominal grid by stage positioning; the exact
+  // worst-case deviation per axis was measured against the position data at
+  // open time (max_dev_x_/max_dev_y_), so the candidate index window below
+  // provably covers every intersecting tile.
+  const double adv_x = std::max(
+      1.0, L.grid_nx > 1 ? (double)(width() - L.tile_w) / (L.grid_nx - 1)
+                         : (double)L.tile_w);
+  const double adv_y = std::max(
+      1.0, L.grid_ny > 1 ? (double)(height() - L.tile_h) / (L.grid_ny - 1)
+                         : (double)L.tile_h);
+  const int64_t mx = (int64_t)(max_dev_x_ / adv_x) + 1;
+  const int64_t my = (int64_t)(max_dev_y_ / adv_y) + 1;
   const int64_t gx0 =
-      std::max<int64_t>(0, (int64_t)((x - L.tile_w) / adv_x) - 1);
+      std::max<int64_t>(0, (int64_t)((x - L.tile_w) / adv_x) - mx);
   const int64_t gx1 =
-      std::min<int64_t>(L.grid_nx - 1, (int64_t)((x + w) / adv_x) + 1);
+      std::min<int64_t>(L.grid_nx - 1, (int64_t)((x + w) / adv_x) + mx);
   const int64_t gy0 =
-      std::max<int64_t>(0, (int64_t)((y - L.tile_h) / adv_y) - 1);
+      std::max<int64_t>(0, (int64_t)((y - L.tile_h) / adv_y) - my);
   const int64_t gy1 =
-      std::min<int64_t>(L.grid_ny - 1, (int64_t)((y + h) / adv_y) + 1);
+      std::min<int64_t>(L.grid_ny - 1, (int64_t)((y + h) / adv_y) + my);
 
   std::vector<uint8_t> rgb;
   for (int64_t gy = gy0; gy <= gy1; ++gy) {
@@ -662,7 +689,13 @@ int32_t MiraxSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
           t.y >= y + h)
         continue;
       int tw = 0, th = 0;
-      if (!read_tile_rgb(t, &rgb, &tw, &th)) return 4;
+      if (!read_tile_rgb(t, &rgb, &tw, &th)) {
+        // corrupt/truncated tile: leave the fill color and carry on — one
+        // damaged tile must not kill the whole slide (OpenSlide behaves
+        // the same way)
+        set_wsi_error("MIRAX: undecodable tile, rendered as background");
+        continue;
+      }
       blit(rgb, tw, th, t.x, t.y, x, y, w, h, dst);
     }
   }
@@ -685,7 +718,10 @@ int32_t MiraxSlide::read_level(int32_t level, void* out) {
       const MiraxTile& t = L.tiles[(size_t)gy * L.grid_nx + gx];
       if (!t.present) continue;
       int tw = 0, th = 0;
-      if (!read_tile_rgb(t, &rgb, &tw, &th)) return 4;
+      if (!read_tile_rgb(t, &rgb, &tw, &th)) {
+        set_wsi_error("MIRAX: undecodable tile, rendered as background");
+        continue;
+      }
       // anchor is stored in level-0 px; place at this level's scale
       const int64_t px = (int64_t)std::llround(t.x / L.downsample);
       const int64_t py = (int64_t)std::llround(t.y / L.downsample);

@@ -617,10 +617,14 @@ def fused_qkv_mha(
     np_ = qkv.shape[1]
 
     # phase-split needs H·Np·pad128(Np) f32 of VMEM scratch; fall back to
-    # the interleaved kernel when that would crowd out the qkv block
+    # the interleaved kernel when the TOTAL working set (scratch plus the
+    # double-buffered qkv-in and out blocks) would crowd VMEM.  Budget is
+    # conservative (32 MiB of the ~128 MiB physical) so it holds under the
+    # default scoped-vmem configuration, not just the tuned bench env.
     lanes = -(-np_ // 128) * 128
     scratch_bytes = num_heads * np_ * lanes * 4
-    if scratch_bytes <= 48 * 1024 * 1024:
+    io_bytes = 2 * np_ * (three_dim + dim) * qkv.dtype.itemsize
+    if scratch_bytes + io_bytes <= 32 * 1024 * 1024:
         kernel = functools.partial(
             _fused_qkv_attn_kernel,
             scale=scale,

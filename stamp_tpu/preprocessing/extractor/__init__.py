@@ -223,10 +223,16 @@ def make_vit_extractor(
             )
 
         def _forward_quantized(images_u8: jax.Array) -> jax.Array:
+            nonlocal variables
             if "qvars" not in int8_state:
                 act_stats = _calibrate_impl(variables, images_u8)
                 qparams = quantize_vit_params(variables["params"], cfg)
                 int8_state["qvars"] = {"params": qparams, "act_stats": act_stats}
+                # the big bf16 Dense kernels are only needed for this one
+                # calibration pass — drop the reference so XLA frees ~2× the
+                # int8 tree's HBM (LN/bias/embed leaves stay alive through
+                # qvars, which shares them)
+                variables = None
             return _forward_int8_impl(int8_state["qvars"], images_u8)
 
     def _forward(images_u8: jax.Array) -> jax.Array:

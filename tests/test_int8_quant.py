@@ -12,9 +12,13 @@ def test_int8_quantized_extractor(monkeypatch):
     from stamp_tpu.models.vit_image import VIT_CONFIGS, ViTConfig
     from stamp_tpu.preprocessing.extractor import make_vit_extractor
 
-    VIT_CONFIGS["test-int8"] = ViTConfig(
-        patch_size=32, embed_dim=64, depth=2, num_heads=2, ffn="swiglu",
-        mlp_ratio=4.0,
+    monkeypatch.setitem(
+        VIT_CONFIGS,
+        "test-int8",
+        ViTConfig(
+            patch_size=32, embed_dim=64, depth=2, num_heads=2, ffn="swiglu",
+            mlp_ratio=4.0,
+        ),
     )
     rng = np.random.default_rng(0)
     batch = rng.integers(0, 255, (4, 224, 224, 3), dtype=np.uint8)

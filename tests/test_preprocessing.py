@@ -153,8 +153,10 @@ def test_extract_random_vit(synthetic_slide, tmp_path, monkeypatch):
     from stamp_tpu.models.vit_image import VIT_CONFIGS, ViTConfig
     from stamp_tpu.preprocessing.extractor import make_vit_extractor
 
-    VIT_CONFIGS["test-tiny"] = ViTConfig(
-        patch_size=32, embed_dim=64, depth=1, num_heads=2
+    monkeypatch.setitem(
+        VIT_CONFIGS,
+        "test-tiny",
+        ViTConfig(patch_size=32, embed_dim=64, depth=1, num_heads=2),
     )
     extractor = make_vit_extractor(
         identifier="test-tiny", arch="test-tiny", weight_files=[]
@@ -435,22 +437,28 @@ def test_mirax_exact_reads(tmp_path, divisions, overlap):
     assert (oob[:, 8:, :3] == 255).all()
 
 
-def test_mirax_position_buffer_jitter(tmp_path):
-    """Camera positions come from the position buffer, not the nominal grid."""
+@pytest.mark.parametrize("jitter", [(3, 2), (28, 15)])
+def test_mirax_position_buffer_jitter(tmp_path, jitter):
+    """Camera positions come from the position buffer, not the nominal grid —
+    including deviations close to a full tile size (the candidate-tile scan
+    window is bounded by the measured worst-case deviation)."""
     if _load_native() is None:
         pytest.skip("native reader not built")
     from mirax_util import write_mirax
 
     tile = 32
+    jx, jy = jitter
     arr = _constant_tile_canvas(3, 2, tile, 1, 0, seed=1)
     path = tmp_path / "slide.mrxs"
-    # shift camera (1, 0) right+down by (3, 2): its tile must land there
-    write_mirax(path, arr, tile=tile, camera_jitter={(1, 0): (3, 2)})
+    # shift camera (1, 0) right+down: its tile must land there
+    write_mirax(path, arr, tile=tile, camera_jitter={(1, 0): (jx, jy)})
 
     slide = open_slide(path)
-    region = np.array(slide.read_region((tile + 3, 2), 0, (tile, tile)))[:, :, :3]
+    region = np.array(slide.read_region((tile + jx, jy), 0, (tile, tile)))[:, :, :3]
     # content carved from the jittered anchor must round-trip (±JPEG rounding)
-    _assert_u8_close(region, arr[2 : 2 + tile, tile + 3 : 2 * tile + 3], tol=2)
+    _assert_u8_close(
+        region, arr[jy : jy + tile, tile + jx : 2 * tile + jx], tol=2
+    )
 
 
 def test_mirax_zlib_positions_and_missing_tiles(tmp_path):
