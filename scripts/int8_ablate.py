@@ -126,7 +126,31 @@ def main():
     ops = 2 * 8192 * 1536 * 8192 * 24
     print(f"{'int8 matmul roofline':32s} {dt * 1e3:9.1f} ms/iter  -> {ops / dt / 1e12:6.1f} TOPS", flush=True)
 
+    # 4. LayerNorms replaced by identity (delta = LN + quantize epilogues)
+    import flax.linen as nn2
+
+    class NoNorm(nn2.Module):
+        epsilon: float = 1e-6
+        use_bias: bool = True
+        use_scale: bool = True
+
+        @nn2.compact
+        def __call__(self, x):
+            return x
+
+    orig_ln = nn.LayerNorm
+    import flax.linen
+    flax.linen.LayerNorm = NoNorm
+    VI.nn.LayerNorm = NoNorm
+    try:
+        qvars_nl = build_int8(cfg_q)
+        t_nl = timeit("int8 no layernorm", make_fwd(ImageViT(cfg_q)), qvars_nl, images)
+    finally:
+        flax.linen.LayerNorm = orig_ln
+        VI.nn.LayerNorm = orig_ln
+
     print(f"\nattention share: {(t_full - t_na) * 1e3:.1f} ms/iter")
+    print(f"layernorm share: {(t_full - t_nl) * 1e3:.1f} ms/iter")
 
 
 if __name__ == "__main__":
