@@ -296,6 +296,35 @@ def fused_m2_mha(qkv, num_heads):
     return out[:, :n]
 
 
+# --- variant: phase-split with parallel grid semantics ---------------------
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_pp_mha(qkv, num_heads):
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    head_dim = dim // num_heads
+    scale = head_dim**-0.5
+    n_pad = (-n) % 8
+    if n_pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = qkv.shape[1]
+    kernel = functools.partial(
+        _fused_ps_kernel, scale=scale, n_valid=n, num_heads=num_heads,
+        head_dim=head_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, np_, three_dim), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, np_, dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, dim), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((num_heads, np_, np_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(qkv)
+    return out[:, :n]
+
+
 def main():
     import numpy as np
 
@@ -314,6 +343,7 @@ def main():
     o3 = timeit("fused_opt (VPU-lean)", functools.partial(fused_opt_mha, num_heads=H), qkv)
     o4 = timeit("fused_ps (phase-split)", functools.partial(fused_ps_mha, num_heads=H), qkv)
     o5 = timeit("fused_m2 (2 items/step)", functools.partial(fused_m2_mha, num_heads=H), qkv)
+    o6 = timeit("fused_pp (parallel grid)", functools.partial(fused_pp_mha, num_heads=H), qkv)
 
     for name, o in [("einsum", o1), ("fused_t", o2), ("fused_opt", o3),
                     ("fused_ps", o4), ("fused_m2", o5)]:

@@ -82,6 +82,7 @@ def _run_preprocess(config: Any, section: Any) -> None:
         cache_tiles_ext=section.cache_tiles_ext,
         generate_hash=section.generate_hash,
         macenko_normalization=section.macenko_normalization,
+        extractor_precision=section.extractor_precision,
     )
 
 

@@ -650,7 +650,9 @@ def fused_qkv_mha(
         out_shape=jax.ShapeDtypeStruct((b, np_, dim), qkv.dtype),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # batch items are independent: parallel semantics lets Mosaic
+            # reorder/pipeline grid steps (+2%, scripts/attn_probe.py)
+            dimension_semantics=("parallel",),
         ),
     )(qkv)
     return out[:, :n]

@@ -2,6 +2,7 @@
 
 from enum import StrEnum
 from pathlib import Path
+from typing import Literal
 
 from pydantic import BaseModel, ConfigDict, Field
 
@@ -62,3 +63,9 @@ class PreprocessingConfig(BaseModel, arbitrary_types_allowed=True):
     macenko_normalization: bool = False
     """Apply Macenko stain normalization to every tile before feature
     extraction (fused on-device kernel; STAMP-v1-era capability)."""
+
+    extractor_precision: Literal["bfloat16", "int8"] = "bfloat16"
+    """`int8` runs the ViT-family extractors as W8A8 (per-channel int8
+    weights, activation scales calibrated on the first tile batch) — ~1.3×
+    faster on TPU at a slight feature deviation from the bf16/fp16 parity
+    path.  Output h5s carry a `precision` attr for provenance."""

@@ -166,12 +166,22 @@ def extract_(
     canny_cutoff: float | None = 0.02,
     generate_hash: bool = True,
     macenko_normalization: bool = False,
+    extractor_precision: str = "bfloat16",
 ) -> None:
     """Extracts features from slides, fail-safe per slide."""
     del device  # jax picks the backend
+    from stamp_tpu.preprocessing.extractor import set_int8_extraction
     from stamp_tpu.preprocessing.extractor.zoo import resolve_extractor
 
-    extractor = resolve_extractor(extractor)
+    if extractor_precision == "int8":
+        # applies to the ViT-family extractors (models/vit_image.py); other
+        # architectures log nothing and stay bf16
+        _logger.info("int8 (W8A8) extraction requested via config")
+        set_int8_extraction(True)
+    try:
+        extractor = resolve_extractor(extractor)
+    finally:
+        set_int8_extraction(None)
     code_hash = get_processing_code_hash(Path(__file__))[:8]
     extractor_id = extractor.identifier
     _logger.info(f"Using extractor {extractor_id}")
@@ -311,6 +321,9 @@ def extract_(
                     h5_fp.attrs["tile_size_px"] = tile_size_px
                     h5_fp.attrs["code_hash"] = code_hash
                     h5_fp.attrs["feat_type"] = "tile"
+                    if extractor_precision != "bfloat16":
+                        # provenance: features from a non-default numeric mode
+                        h5_fp.attrs["precision"] = extractor_precision
             except Exception:
                 _logger.exception(f"error while writing {feature_output_path}")
                 Path(tmp_h5_file.name).unlink(missing_ok=True)

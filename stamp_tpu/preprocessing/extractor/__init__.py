@@ -37,6 +37,24 @@ from stamp_tpu.models.vit_image import (
 
 _logger = logging.getLogger("stamp")
 
+# process-wide override for int8 (W8A8) extraction, settable from the config
+# layer (preprocessing.extractor_precision) without touching the environment;
+# None defers to the STAMP_INT8_EXTRACTION env var
+_INT8_OVERRIDE: bool | None = None
+
+
+def set_int8_extraction(enabled: bool | None) -> None:
+    """Force int8 extraction on/off for subsequently-built extractors
+    (None = defer to the STAMP_INT8_EXTRACTION environment variable)."""
+    global _INT8_OVERRIDE
+    _INT8_OVERRIDE = enabled
+
+
+def _int8_requested() -> bool:
+    if _INT8_OVERRIDE is not None:
+        return _INT8_OVERRIDE
+    return os.environ.get("STAMP_INT8_EXTRACTION") == "1"
+
 
 @dataclass(frozen=True)
 class Extractor:
@@ -183,7 +201,7 @@ def make_vit_extractor(
     # Works on the dp mesh too: weights replicated, batch sharded — the
     # calibration maxima all-reduce across chips automatically under jit.
     int8_state: dict = {}
-    use_int8 = os.environ.get("STAMP_INT8_EXTRACTION") == "1"
+    use_int8 = _int8_requested()
     if use_int8:
         _logger.warning(
             f"{identifier}: int8 (W8A8) inference enabled — features will "
