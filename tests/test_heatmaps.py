@@ -57,17 +57,30 @@ def test_export_ranked_tiles(tmp_path):
 
 
 @pytest.mark.slow
-def test_heatmaps_end_to_end(tmp_path):
-    """Fake 2×2-tile slide + random-init classifier checkpoint → all artifacts."""
+@pytest.mark.parametrize("slide_format", ["png", "mrxs"])
+def test_heatmaps_end_to_end(tmp_path, slide_format):
+    """Fake 2×2-tile slide + random-init classifier checkpoint → all
+    artifacts; also exercised over a native MIRAX container (top-tile
+    export reads regions back from the WSI)."""
     rng = np.random.default_rng(0)
     feat_dim = 8
 
     # fake WSI: 448×448 px at mpp 256/224
     wsi_dir = tmp_path / "wsi"
     wsi_dir.mkdir()
-    Image.fromarray(rng.integers(0, 255, (448, 448, 3), dtype=np.uint8)).save(
-        wsi_dir / "slide1.png"
-    )
+    arr = rng.integers(0, 255, (448, 448, 3), dtype=np.uint8)
+    if slide_format == "png":
+        Image.fromarray(arr).save(wsi_dir / "slide1.png")
+    else:
+        from stamp_tpu.preprocessing.wsi import _load_native
+        if _load_native() is None:
+            pytest.skip("native reader not built")
+        from mirax_util import write_mirax
+
+        write_mirax(
+            wsi_dir / "slide1.mrxs", arr, tile=64, n_levels=1,
+            mpp=256.0 / 224.0,
+        )
 
     # matching features: 4 tiles on a 2×2 grid of 256µm
     feat_dir = tmp_path / "feats"
