@@ -325,6 +325,75 @@ def fused_pp_mha(qkv, num_heads):
     return out[:, :n]
 
 
+# --- variant: software-pipelined (stagger MXU and VPU work per head) -------
+def _fused_sp_kernel(qkv_ref, o_ref, s_s, *, scale, n_valid, num_heads, head_dim):
+    """Stage heads so each loop step issues: QK dot for head h, softmax for
+    head h-1, PV dot for head h-2 — independent ops the scheduler can run
+    on the MXU and VPU concurrently."""
+    dim = num_heads * head_dim
+    qkv = qkv_ref[0]
+    npad = qkv.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, npad), 1)
+    bias_row = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+
+    def qk(h):
+        q = qkv[:, h * head_dim : (h + 1) * head_dim]
+        k = qkv[:, dim + h * head_dim : dim + (h + 1) * head_dim]
+        s_s[h] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def sm(h):
+        s = s_s[h] * scale + bias_row[0:1, :]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        s_s[h] = p / l
+
+    def pv(h):
+        v = qkv[:, 2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim]
+        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+            s_s[h].astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+    for h in range(num_heads + 2):
+        if h < num_heads:
+            qk(h)
+        if 1 <= h < num_heads + 1:
+            sm(h - 1)
+        if h >= 2:
+            pv(h - 2)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_sp_mha(qkv, num_heads):
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    head_dim = dim // num_heads
+    scale = head_dim**-0.5
+    n_pad = (-n) % 8
+    if n_pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = qkv.shape[1]
+    kernel = functools.partial(
+        _fused_sp_kernel, scale=scale, n_valid=n, num_heads=num_heads,
+        head_dim=head_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, np_, three_dim), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, np_, dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, dim), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((num_heads, np_, np_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(qkv)
+    return out[:, :n]
+
+
 def main():
     import numpy as np
 
@@ -344,6 +413,7 @@ def main():
     o4 = timeit("fused_ps (phase-split)", functools.partial(fused_ps_mha, num_heads=H), qkv)
     o5 = timeit("fused_m2 (2 items/step)", functools.partial(fused_m2_mha, num_heads=H), qkv)
     o6 = timeit("fused_pp (parallel grid)", functools.partial(fused_pp_mha, num_heads=H), qkv)
+    o7 = timeit("fused_sp (sw-pipelined)", functools.partial(fused_sp_mha, num_heads=H), qkv)
 
     for name, o in [("einsum", o1), ("fused_t", o2), ("fused_opt", o3),
                     ("fused_ps", o4), ("fused_m2", o5)]:
