@@ -1,15 +1,32 @@
 """Unit types and shared aliases.
 
-Mirrors the semantic unit system of the reference (src/stamp/types.py:23-62)
-without depending on torch: all array-valued aliases refer to numpy / JAX
-arrays instead of torch tensors.
+The pipeline juggles three coordinate systems — physical microns on the
+tissue, level-0 scan pixels, and resized tile pixels — plus the scalar that
+converts between them (microns per pixel).  Each gets its own ``NewType`` so
+mixing them up is a type error rather than a silently wrong heatmap.  Mirrors
+the semantic unit system of the reference (src/stamp/types.py:23-62) without
+depending on torch: array-valued data is numpy / JAX.
 """
 
 from collections.abc import Mapping
 from pathlib import Path
 from typing import Final, Literal, NewType, TypeAlias, TypeVar
 
-# --- tiling ---
+# --- physical / pixel units -------------------------------------------------
+
+Microns = NewType("Microns", float)
+"""Micrometers of actual tissue on the slide."""
+
+SlideMPP = NewType("SlideMPP", float)
+"""Microns per pixel at scan level 0 — the µm ↔ pixel conversion factor."""
+
+SlidePixels = NewType("SlidePixels", int)
+"""Pixels in the WSI's level-0 (highest magnification) coordinate frame."""
+
+TilePixels = NewType("TilePixels", int)
+"""Pixels of the resized tile as the extractor model sees it."""
+
+# --- tile cache -------------------------------------------------------------
 
 ImageExtension: TypeAlias = Literal["png", "jpg"]
 EXTENSION_TO_FORMAT: Final[Mapping[str, str]] = {
@@ -17,32 +34,26 @@ EXTENSION_TO_FORMAT: Final[Mapping[str, str]] = {
     "jpg": "jpeg",
 }
 
-Microns = NewType("Microns", float)
-"""Micrometers, usually referring to the tissue on the slide."""
-
-SlidePixels = NewType("SlidePixels", int)
-"""Pixels of the WSI scan at largest magnification (level-0 coordinates)."""
-
-TilePixels = NewType("TilePixels", int)
-"""Pixels after resizing, i.e. how they appear on the final tile."""
-
-SlideMPP = NewType("SlideMPP", float)
-"""Microns per pixel at level 0."""
-
-# --- modeling ---
-
-DeviceLikeType: TypeAlias = str | int
+# --- cohort / modeling ------------------------------------------------------
 
 PatientId: TypeAlias = str
-GroundTruth: TypeAlias = str
-SurvivalGroundTruth: TypeAlias = tuple[float | None, int | None]
-MultiClassGroundTruth: TypeAlias = tuple[str, ...]
+PandasLabel: TypeAlias = str
+"""A column name in a clinical or slide table."""
+
 FeaturePath = NewType("FeaturePath", Path)
+"""Path of an ``.h5`` feature file."""
 
 Category: TypeAlias = str
-BagSize: TypeAlias = int
-PandasLabel: TypeAlias = str
+GroundTruth: TypeAlias = str
+MultiClassGroundTruth: TypeAlias = tuple[str, ...]
+SurvivalGroundTruth: TypeAlias = tuple[float | None, int | None]
+"""(time-to-event, event-observed) — either may be missing in messy tables."""
 
 GroundTruthType = TypeVar("GroundTruthType", covariant=True)
 
+BagSize: TypeAlias = int
+DeviceLikeType: TypeAlias = str | int
+
 Task: TypeAlias = Literal["classification", "regression", "survival"]
+"""Multi-target classification is `classification` with a list of ground
+truth labels; it is not a separate task value."""
