@@ -543,3 +543,48 @@ def test_mirax_extraction_end_to_end(tmp_path):
         assert f["coords"].shape[0] > 0
         assert f.attrs["unit"] == "um"
 
+
+
+def test_mirax_corrupt_tile_renders_background(tmp_path):
+    """One damaged JPEG tile must not fail the slide: the tile renders as
+    fill color and every other tile still decodes (OpenSlide behavior)."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    import struct
+
+    from mirax_util import write_mirax
+
+    tile = 32
+    arr = _constant_tile_canvas(2, 2, tile, 1, 0, seed=6)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(path, arr, tile=tile, n_levels=1)
+
+    # locate tile (1, 1)'s byte range via Index.dat and garble it
+    datadir = path.with_suffix("")
+    idx = (datadir / "Index.dat").read_bytes()
+    slide_id_len = 32
+    hier_root = struct.unpack_from("<i", idx, 5 + slide_id_len)[0]
+    rec_ptr = struct.unpack_from("<i", idx, hier_root)[0]
+    page_ptr = struct.unpack_from("<i", idx, rec_ptr + 4)[0]
+    count = struct.unpack_from("<i", idx, page_ptr)[0]
+    assert count == 4
+    for e in range(count):
+        image_index, offset, length, fileno = struct.unpack_from(
+            "<4i", idx, page_ptr + 8 + 16 * e
+        )
+        if image_index == 3:  # tile (1, 1)
+            data_file = datadir / f"Data{fileno:04d}.dat"
+            blob = bytearray(data_file.read_bytes())
+            blob[offset : offset + length] = b"\xde\xad" * (length // 2) + b"\x00" * (length % 2)
+            data_file.write_bytes(bytes(blob))
+            break
+    else:
+        raise AssertionError("tile (1,1) not found in index")
+
+    slide = open_slide(path)
+    full = np.array(slide.read_region((0, 0), 0, slide.dimensions))[:, :, :3]
+    # intact tiles decode exactly
+    _assert_u8_close(full[:tile, :tile], arr[:tile, :tile])
+    _assert_u8_close(full[:tile, tile:], arr[:tile, tile : 2 * tile])
+    # the corrupt tile renders as the (white) fill color, not garbage
+    assert (full[tile:, tile:] == 255).all()
