@@ -22,6 +22,9 @@ struct ISlide {
   virtual int64_t level_height(int32_t level) const = 0;
   virtual const std::string& description() const = 0;
   virtual double mpp() const = 0;  // microns per pixel at level 0, -1 unknown
+  // cumulative count of tiles that failed to decode and were rendered as
+  // background (MIRAX resilience path); 0 for backends that fail hard
+  virtual int64_t decode_errors() const { return 0; }
 
   // TIFF-specific raw-tile access (JPEG2000 SVS path); other backends
   // keep the defaults.

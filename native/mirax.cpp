@@ -220,6 +220,7 @@ class MiraxSlide : public ISlide {
   }
   const std::string& description() const override { return description_; }
   double mpp() const override { return mpp_; }
+  int64_t decode_errors() const override { return decode_errors_; }
 
   int32_t read_region(int64_t x, int64_t y, int64_t w, int64_t h,
                       void* out) override;
@@ -245,6 +246,10 @@ class MiraxSlide : public ISlide {
   std::vector<MiraxLevel> levels_;
   std::vector<int64_t> cam_x_, cam_y_;  // camera positions (level-0 px)
   double max_dev_x_ = 0, max_dev_y_ = 0;  // worst |anchor − nominal| (lvl 0)
+  double adv_x_ = 1.0, adv_y_ = 1.0;  // nominal level-0 grid advance —
+                                      // single source for the deviation
+                                      // measurement AND read_region's window
+  int64_t decode_errors_ = 0;  // undecodable tiles rendered as background
   std::string description_;
   double mpp_ = -1.0;
   uint8_t fill_r_ = 255, fill_g_ = 255, fill_b_ = 255;
@@ -596,10 +601,10 @@ MiraxSlide* MiraxSlide::open(const char* path) {
   // read_region uses it to bound its candidate-tile scan window exactly
   {
     const MiraxLevel& L0 = s->levels_[0];
-    const double adv_x = std::max(
+    s->adv_x_ = std::max(
         1.0, L0.grid_nx > 1 ? (double)(w0 - L0.tile_w) / (L0.grid_nx - 1)
                             : (double)L0.tile_w);
-    const double adv_y = std::max(
+    s->adv_y_ = std::max(
         1.0, L0.grid_ny > 1 ? (double)(h0 - L0.tile_h) / (L0.grid_ny - 1)
                             : (double)L0.tile_h);
     for (int64_t gy = 0; gy < L0.grid_ny; ++gy) {
@@ -607,9 +612,9 @@ MiraxSlide* MiraxSlide::open(const char* path) {
         const MiraxTile& t = L0.tiles[(size_t)gy * L0.grid_nx + gx];
         if (!t.present) continue;
         s->max_dev_x_ =
-            std::max(s->max_dev_x_, std::abs(t.x - gx * adv_x));
+            std::max(s->max_dev_x_, std::abs(t.x - gx * s->adv_x_));
         s->max_dev_y_ =
-            std::max(s->max_dev_y_, std::abs(t.y - gy * adv_y));
+            std::max(s->max_dev_y_, std::abs(t.y - gy * s->adv_y_));
       }
     }
   }
@@ -660,15 +665,11 @@ int32_t MiraxSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
   }
   const MiraxLevel& L = levels_[0];
   // Tiles deviate from the nominal grid by stage positioning; the exact
-  // worst-case deviation per axis was measured against the position data at
-  // open time (max_dev_x_/max_dev_y_), so the candidate index window below
-  // provably covers every intersecting tile.
-  const double adv_x = std::max(
-      1.0, L.grid_nx > 1 ? (double)(width() - L.tile_w) / (L.grid_nx - 1)
-                         : (double)L.tile_w);
-  const double adv_y = std::max(
-      1.0, L.grid_ny > 1 ? (double)(height() - L.tile_h) / (L.grid_ny - 1)
-                         : (double)L.tile_h);
+  // worst-case deviation per axis was measured at open time against the
+  // SAME stored advance (adv_x_/adv_y_), so the candidate index window
+  // below provably covers every intersecting tile.
+  const double adv_x = adv_x_;
+  const double adv_y = adv_y_;
   const int64_t mx = (int64_t)(max_dev_x_ / adv_x) + 1;
   const int64_t my = (int64_t)(max_dev_y_ / adv_y) + 1;
   const int64_t gx0 =
@@ -692,7 +693,8 @@ int32_t MiraxSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
       if (!read_tile_rgb(t, &rgb, &tw, &th)) {
         // corrupt/truncated tile: leave the fill color and carry on — one
         // damaged tile must not kill the whole slide (OpenSlide behaves
-        // the same way)
+        // the same way).  The caller can poll decode_errors() and warn.
+        ++decode_errors_;
         set_wsi_error("MIRAX: undecodable tile, rendered as background");
         continue;
       }
@@ -719,6 +721,7 @@ int32_t MiraxSlide::read_level(int32_t level, void* out) {
       if (!t.present) continue;
       int tw = 0, th = 0;
       if (!read_tile_rgb(t, &rgb, &tw, &th)) {
+        ++decode_errors_;
         set_wsi_error("MIRAX: undecodable tile, rendered as background");
         continue;
       }

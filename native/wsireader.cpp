@@ -363,6 +363,9 @@ int32_t wsi_compression(void* handle) {
 int32_t wsi_raw_only(void* handle) {
   return ((ISlide*)handle)->raw_only() ? 1 : 0;
 }
+int64_t wsi_decode_errors(void* handle) {
+  return ((ISlide*)handle)->decode_errors();
+}
 int32_t wsi_tile_width(void* handle, int32_t level) {
   return ((ISlide*)handle)->tile_width(level);
 }

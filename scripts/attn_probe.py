@@ -416,7 +416,8 @@ def main():
     o7 = timeit("fused_sp (sw-pipelined)", functools.partial(fused_sp_mha, num_heads=H), qkv)
 
     for name, o in [("einsum", o1), ("fused_t", o2), ("fused_opt", o3),
-                    ("fused_ps", o4), ("fused_m2", o5)]:
+                    ("fused_ps", o4), ("fused_m2", o5), ("fused_pp", o6),
+                    ("fused_sp", o7)]:
         d = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))
         print(f"max|{name} - fused_qkv| = {d:.5f}")
 

@@ -184,15 +184,23 @@ def extract_(
         set_int8_extraction(None)
     code_hash = get_processing_code_hash(Path(__file__))[:8]
     extractor_id = extractor.identifier
-    _logger.info(f"Using extractor {extractor_id}")
+    # the extractor reports the numeric mode it actually runs in (the config
+    # request is a no-op for non-ViT architectures and pre-built extractors)
+    actual_precision = getattr(extractor, "precision", "bfloat16")
+    _logger.info(f"Using extractor {extractor_id} ({actual_precision})")
 
     if cache_dir:
         cache_dir.mkdir(parents=True, exist_ok=True)
 
+    # non-default precisions get their own artifact directory so a resumed
+    # run can never silently mix numeric modes via skip-if-exists
+    dir_id = extractor_id + (
+        f"-{actual_precision}" if actual_precision != "bfloat16" else ""
+    )
     feat_output_dir = (
-        output_dir / f"{extractor_id}-{code_hash}"
+        output_dir / f"{dir_id}-{code_hash}"
         if generate_hash
-        else output_dir / extractor_id
+        else output_dir / dir_id
     )
 
     if wsi_list is not None:
@@ -321,9 +329,9 @@ def extract_(
                     h5_fp.attrs["tile_size_px"] = tile_size_px
                     h5_fp.attrs["code_hash"] = code_hash
                     h5_fp.attrs["feat_type"] = "tile"
-                    if extractor_precision != "bfloat16":
+                    if actual_precision != "bfloat16":
                         # provenance: features from a non-default numeric mode
-                        h5_fp.attrs["precision"] = extractor_precision
+                        h5_fp.attrs["precision"] = actual_precision
             except Exception:
                 _logger.exception(f"error while writing {feature_output_path}")
                 Path(tmp_h5_file.name).unlink(missing_ok=True)

@@ -65,6 +65,9 @@ class Extractor:
     feat_dim: int
     transform_host: Callable[[Image.Image], np.ndarray]
     forward: Callable[[np.ndarray], np.ndarray]  # uint8 [B,H,W,3] → f32 [B,D]
+    precision: str = "bfloat16"
+    """Numeric mode the forward actually runs in ("bfloat16" | "int8") —
+    the source of truth for output provenance and artifact dir naming."""
 
 
 def _resize_transform(size: int) -> Callable[[Image.Image], np.ndarray]:
@@ -253,9 +256,6 @@ def make_vit_extractor(
                 variables = None
             return _forward_int8_impl(int8_state["qvars"], images_u8)
 
-    def _forward(images_u8: jax.Array) -> jax.Array:
-        return _forward_impl(variables, images_u8)
-
     feat_dim = {
         "token": cfg.embed_dim,
         "avg": cfg.embed_dim,
@@ -283,4 +283,5 @@ def make_vit_extractor(
         feat_dim=feat_dim,
         transform_host=_resize_transform(input_px),
         forward=forward,
+        precision="int8" if use_int8 else "bfloat16",
     )

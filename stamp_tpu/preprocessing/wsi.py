@@ -150,6 +150,8 @@ def _load_native() -> ctypes.CDLL | None:
                 try:  # failure-reason channel; absent in older builds
                     lib.wsi_last_error.restype = ctypes.c_char_p
                     lib.wsi_last_error.argtypes = []
+                    lib.wsi_decode_errors.restype = ctypes.c_int64
+                    lib.wsi_decode_errors.argtypes = [ctypes.c_void_p]
                 except AttributeError:
                     pass
                 try:  # raw-tile interface (J2K path); absent in older builds
@@ -205,6 +207,7 @@ class CTiffSlide:
         if mpp > 0:
             self.properties[PROPERTY_NAME_MPP_X] = str(mpp)
             self.properties["openslide.mpp-y"] = str(mpp)
+        self._decode_errors_reported = 0
 
     def __del__(self) -> None:
         if getattr(self, "_handle", None):
@@ -276,6 +279,21 @@ class CTiffSlide:
             ty += th
         return out
 
+    def _warn_on_decode_errors(self) -> None:
+        """Degraded-but-successful reads (undecodable tiles rendered as
+        background) must not pass silently — surface them as warnings."""
+        fn = getattr(self._lib, "wsi_decode_errors", None)
+        if fn is None:
+            return
+        count = int(fn(self._handle))
+        if count > self._decode_errors_reported:
+            _logger.warning(
+                f"{self.path.name}: {count - self._decode_errors_reported} "
+                "tile(s) failed to decode and were rendered as background "
+                f"({count} total for this slide)"
+            )
+            self._decode_errors_reported = count
+
     def read_region(
         self, location: tuple[int, int], level: int, size: tuple[int, int]
     ) -> Image.Image:
@@ -291,6 +309,7 @@ class CTiffSlide:
         )
         if rc != 0:
             raise RuntimeError(f"read_region failed with code {rc}")
+        self._warn_on_decode_errors()
         return Image.fromarray(buf, "RGBA")
 
     def read_region_array(
@@ -305,6 +324,7 @@ class CTiffSlide:
         )
         if rc != 0:
             raise RuntimeError(f"read_region failed with code {rc}")
+        self._warn_on_decode_errors()
         return buf
 
     def get_thumbnail(self, size: tuple[int, int]) -> Image.Image:

@@ -93,13 +93,25 @@ def test_int8_config_surface(tmp_path, monkeypatch):
     ).save(wsi_dir / "s.tif", format="TIFF", compression="tiff_lzw",
            resolution=10000.0, resolution_unit=3)
 
+    # the config field reaches name-resolved extractors: extract_ must set
+    # the int8 override exactly around resolution
+    from stamp_tpu.preprocessing.extractor import _int8_requested
+    from stamp_tpu.preprocessing.extractor import zoo as _zoo
+
+    seen = {}
+
+    def fake_resolve(name):
+        seen["int8_at_resolve"] = _int8_requested()
+        return ext
+
+    monkeypatch.setattr(_zoo, "resolve_extractor", fake_resolve)
     extract_(
         wsi_dir=wsi_dir,
         output_dir=tmp_path / "out",
         wsi_list=None,
         cache_dir=None,
         cache_tiles_ext=".jpg",
-        extractor=ext,
+        extractor="uni2",  # name-resolved through the (patched) zoo
         tile_size_px=224,
         tile_size_um=224.0,
         max_workers=2,
@@ -107,8 +119,12 @@ def test_int8_config_surface(tmp_path, monkeypatch):
         generate_hash=False,
         extractor_precision="int8",
     )
+    assert seen["int8_at_resolve"] is True
+    assert _int8_requested() is False  # override reset after resolution
     h5s = list((tmp_path / "out").rglob("*.h5"))
     assert len(h5s) == 1
+    # int8 cohorts live in their own directory — resumed runs can't mix modes
+    assert h5s[0].parent.name.endswith("-int8")
     with h5py.File(h5s[0]) as f:
         assert f.attrs["precision"] == "int8"
         feats = np.asarray(f["feats"], np.float32)

@@ -545,9 +545,10 @@ def test_mirax_extraction_end_to_end(tmp_path):
 
 
 
-def test_mirax_corrupt_tile_renders_background(tmp_path):
+def test_mirax_corrupt_tile_renders_background(tmp_path, caplog):
     """One damaged JPEG tile must not fail the slide: the tile renders as
-    fill color and every other tile still decodes (OpenSlide behavior)."""
+    fill color, every other tile still decodes (OpenSlide behavior), and
+    the degradation is surfaced as a warning — never silent."""
     if _load_native() is None:
         pytest.skip("native reader not built")
     import struct
@@ -581,10 +582,15 @@ def test_mirax_corrupt_tile_renders_background(tmp_path):
     else:
         raise AssertionError("tile (1,1) not found in index")
 
+    import logging as _logging
+
     slide = open_slide(path)
-    full = np.array(slide.read_region((0, 0), 0, slide.dimensions))[:, :, :3]
+    with caplog.at_level(_logging.WARNING, logger="stamp"):
+        full = np.array(slide.read_region((0, 0), 0, slide.dimensions))[:, :, :3]
     # intact tiles decode exactly
     _assert_u8_close(full[:tile, :tile], arr[:tile, :tile])
     _assert_u8_close(full[:tile, tile:], arr[:tile, tile : 2 * tile])
     # the corrupt tile renders as the (white) fill color, not garbage
     assert (full[tile:, tile:] == 255).all()
+    # and the degradation is reported
+    assert any("failed to decode" in r.message for r in caplog.records)
