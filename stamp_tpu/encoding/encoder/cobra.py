@@ -17,7 +17,7 @@ import numpy as np
 from stamp_tpu.encoding.config import EncoderName
 from stamp_tpu.encoding.encoder import Encoder
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
-from stamp_tpu.models.slide_encoders import CobraNet
+from stamp_tpu.models.slide_encoders import CobraNet, convert_cobra_state_dict
 from stamp_tpu.preprocessing.config import ExtractorName
 
 
@@ -45,7 +45,11 @@ class Cobra(Encoder):
                 (jnp.zeros((8, d_in)),),
                 name="cobra",
                 weight_files=["*cobra*.pth", "*COBRA*.safetensors"],
-                convert=None,
+                # the converted tree carries every embed.{dim} head found in
+                # the checkpoint; flax only reads the head matching d_in
+                convert=lambda sd: convert_cobra_state_dict(
+                    sd, depth=self.module.depth
+                ),
             )
         return self._variables_by_dim[d_in]
 

@@ -18,7 +18,10 @@ from stamp_tpu.encoding.config import EncoderName
 from stamp_tpu.encoding.encoder import Encoder
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
 from stamp_tpu.encoding.encoder._virtual_slide import VirtualSlidePatientMixin
-from stamp_tpu.models.slide_encoders import LongNetViT
+from stamp_tpu.models.slide_encoders import (
+    LongNetViT,
+    convert_gigapath_slide_state_dict,
+)
 from stamp_tpu.preprocessing.config import ExtractorName
 
 
@@ -30,7 +33,9 @@ class Gigapath(VirtualSlidePatientMixin, Encoder):
             (jnp.zeros((4, 1536)), jnp.zeros((4, 2))),
             name="gigapath-slide",
             weight_files=["slide_encoder.pth", "*gigapath*slide*.pth"],
-            convert=None,
+            convert=lambda sd: convert_gigapath_slide_state_dict(
+                sd, depth=self.module.depth
+            ),
         )
         # tile counts vary per slide — pad to the next power of two so the
         # dilated-attention kernel compiles once per bucket, not per slide

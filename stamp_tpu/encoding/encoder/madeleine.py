@@ -15,7 +15,10 @@ import numpy as np
 from stamp_tpu.encoding.config import EncoderName
 from stamp_tpu.encoding.encoder import Encoder
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
-from stamp_tpu.models.slide_encoders import MadeleineNet
+from stamp_tpu.models.slide_encoders import (
+    MadeleineNet,
+    convert_madeleine_state_dict,
+)
 from stamp_tpu.preprocessing.config import ExtractorName
 
 
@@ -27,7 +30,7 @@ class Madeleine(Encoder):
             (jnp.zeros((4, 512)),),
             name="madeleine",
             weight_files=["*madeleine*.pt", "*MADELEINE*.safetensors"],
-            convert=None,
+            convert=convert_madeleine_state_dict,
         )
         self._forward = jax.jit(self.module.apply)
         super().__init__(

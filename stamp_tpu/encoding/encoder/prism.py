@@ -15,7 +15,10 @@ import numpy as np
 from stamp_tpu.encoding.config import EncoderName
 from stamp_tpu.encoding.encoder import Encoder
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
-from stamp_tpu.models.slide_encoders import PrismPerceiver
+from stamp_tpu.models.slide_encoders import (
+    PrismPerceiver,
+    convert_prism_state_dict,
+)
 from stamp_tpu.preprocessing.config import ExtractorName
 
 
@@ -27,7 +30,9 @@ class Prism(Encoder):
             (jnp.zeros((4, 2560)),),
             name="prism",
             weight_files=["*prism*.bin", "*Prism*.safetensors"],
-            convert=None,
+            convert=lambda sd: convert_prism_state_dict(
+                sd, depth=self.module.depth
+            ),
         )
         self._forward = jax.jit(self.module.apply)
         super().__init__(

@@ -19,7 +19,7 @@ from stamp_tpu.encoding.config import EncoderName
 from stamp_tpu.encoding.encoder import Encoder
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
 from stamp_tpu.encoding.encoder._virtual_slide import VirtualSlidePatientMixin
-from stamp_tpu.models.slide_encoders import TitanViT
+from stamp_tpu.models.slide_encoders import TitanViT, convert_titan_state_dict
 from stamp_tpu.preprocessing.config import ExtractorName
 
 
@@ -31,7 +31,9 @@ class Titan(VirtualSlidePatientMixin, Encoder):
             (jnp.zeros((4, 768)), jnp.zeros((4, 2), jnp.int32)),
             name="titan",
             weight_files=["*TITAN*.bin", "*titan*.safetensors", "*TITAN*.pth"],
-            convert=None,
+            convert=lambda sd: convert_titan_state_dict(
+                sd, depth=self.module.depth
+            ),
         )
         self._forward = jax.jit(self.module.apply)
         super().__init__(

@@ -22,9 +22,15 @@ are re-implemented here TPU-first from their publications:
   features with a post-attention projection (512-d).
 
 Weight porting: each architecture keeps a flat, explicitly-named parameter
-tree so a converter can map the upstream state dict 1:1 once the (gated)
-weights are available; random-weight smoke tests cover the architecture
-until then.
+tree, and the ``convert_*_state_dict`` functions at the bottom of this file
+map a pre-seeded upstream torch state dict onto it 1:1.  The conversion
+math (transposes, qkv packing, multiway branches, conv layouts) is
+parity-locked against independently written torch oracles in
+tests/test_converter_parity.py; the targeted key names follow the upstream
+repos' module naming (torchscale for GigaPath, mamba-ssm for COBRA's
+mixers, CLAM-style gated attention for COBRA/MADELEINE) with common prefix
+variants tolerated, since the gated checkpoints themselves cannot be
+downloaded in a zero-egress build.
 """
 
 from __future__ import annotations
@@ -415,3 +421,196 @@ class MadeleineNet(nn.Module):
             "nh,nhd->hd", weights, h.reshape(-1, self.num_heads, head_dim)
         ).reshape(self.dim)
         return nn.Dense(self.dim, name="post_proj")(pooled)
+
+
+# ---------------------------------------------------------------------------
+# torch → flax state-dict converters
+# ---------------------------------------------------------------------------
+
+_PREFIXES = ("module.", "model.", "slide_encoder.", "vision_encoder.")
+
+
+def _strip_prefixes(state_dict: dict) -> dict[str, np.ndarray]:
+    sd = {}
+    for k, v in state_dict.items():
+        for p in _PREFIXES:
+            if k.startswith(p):
+                k = k[len(p) :]
+        sd[k] = np.asarray(v)
+    return sd
+
+
+def _t(sd: dict, *names: str) -> np.ndarray:
+    for name in names:
+        if name in sd:
+            return sd[name]
+    raise KeyError(f"none of {names} found in checkpoint")
+
+
+def _ln(sd: dict, *names: str) -> dict:
+    return {
+        "scale": _t(sd, *(f"{n}.weight" for n in names)),
+        "bias": _t(sd, *(f"{n}.bias" for n in names)),
+    }
+
+
+def _linear(sd: dict, *names: str, bias: bool = True) -> dict:
+    out = {"kernel": _t(sd, *(f"{n}.weight" for n in names)).T}
+    if bias:
+        out["bias"] = _t(sd, *(f"{n}.bias" for n in names))
+    return out
+
+
+def _packed_qkv(sd: dict, base: str) -> dict:
+    """Pack separate q/k/v projections into one fused Dense kernel/bias."""
+    qw = _t(sd, f"{base}.q_proj.weight")
+    kw = _t(sd, f"{base}.k_proj.weight")
+    vw = _t(sd, f"{base}.v_proj.weight")
+    return {
+        "kernel": np.concatenate([qw, kw, vw], axis=0).T,
+        "bias": np.concatenate(
+            [
+                _t(sd, f"{base}.q_proj.bias"),
+                _t(sd, f"{base}.k_proj.bias"),
+                _t(sd, f"{base}.v_proj.bias"),
+            ]
+        ),
+    }
+
+
+def convert_titan_state_dict(state_dict: dict, depth: int = 12) -> dict:
+    """TITAN slide ViT: timm-style block names (``blocks.{i}.norm1 /
+    attn.qkv / attn.proj / norm2 / mlp.fc1 / mlp.fc2``), a Linear
+    ``patch_embed`` over CONCH1.5 features, CLS token, final ``norm``."""
+    sd = _strip_prefixes(state_dict)
+    params = {
+        "patch_embed": _linear(sd, "patch_embed.proj", "patch_embed"),
+        "cls_token": _t(sd, "cls_token").reshape(1, -1),
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        params[f"block_{i}"] = {
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "attn": {
+                "qkv": _linear(sd, p + "attn.qkv"),
+                "proj": _linear(sd, p + "attn.proj"),
+            },
+            "fc1": _linear(sd, p + "mlp.fc1"),
+            "fc2": _linear(sd, p + "mlp.fc2"),
+        }
+    return {"params": params}
+
+
+def convert_gigapath_slide_state_dict(state_dict: dict, depth: int = 12) -> dict:
+    """GigaPath LongNetViT: torchscale encoder naming (``encoder.layers.{i}.
+    self_attn_layer_norm / self_attn.{q,k,v,out}_proj / final_layer_norm /
+    ffn.{fc1,fc2}``, final ``encoder.layer_norm``) with a Linear
+    ``patch_embed`` (1536 → 768) and CLS token; separate q/k/v projections
+    are packed into the fused qkv Dense."""
+    sd = _strip_prefixes(state_dict)
+    params = {
+        "patch_embed": _linear(sd, "patch_embed.proj", "patch_embed"),
+        "cls_token": _t(sd, "cls_token").reshape(1, -1),
+        "norm": _ln(sd, "encoder.layer_norm", "norm"),
+    }
+    for i in range(depth):
+        p = f"encoder.layers.{i}."
+        params[f"block_{i}"] = {
+            "norm1": _ln(sd, p + "self_attn_layer_norm"),
+            "qkv": _packed_qkv(sd, p + "self_attn"),
+            "proj": _linear(sd, p + "self_attn.out_proj"),
+            "norm2": _ln(sd, p + "final_layer_norm"),
+            "fc1": _linear(sd, p + "ffn.fc1"),
+            "fc2": _linear(sd, p + "ffn.fc2"),
+        }
+    return {"params": params}
+
+
+def convert_prism_state_dict(state_dict: dict, depth: int = 8) -> dict:
+    """PRISM Perceiver resampler: ``latents``, a ``media_proj`` Linear
+    (2560 → 1280), per layer a cross-attention (``layers.{i}.cross_norm /
+    cross_q / cross_k / cross_v / cross_proj``) followed by a latent
+    transformer block (``layers.{i}.norm1 / attn.qkv / attn.proj / norm2 /
+    mlp.fc1 / mlp.fc2``), final ``norm``; an ``image_resampler.`` prefix is
+    tolerated."""
+    sd = {}
+    for k, v in _strip_prefixes(state_dict).items():
+        sd[k.removeprefix("image_resampler.")] = v
+    params = {
+        "latents": _t(sd, "latents"),
+        "input_proj": _linear(sd, "media_proj", "input_proj"),
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        p = f"layers.{i}."
+        params[f"cross_norm_{i}"] = _ln(sd, p + "cross_norm")
+        params[f"cross_q_{i}"] = _linear(sd, p + "cross_q")
+        params[f"cross_k_{i}"] = _linear(sd, p + "cross_k")
+        params[f"cross_v_{i}"] = _linear(sd, p + "cross_v")
+        params[f"cross_proj_{i}"] = _linear(sd, p + "cross_proj")
+        params[f"block_{i}"] = {
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "attn": {
+                "qkv": _linear(sd, p + "attn.qkv"),
+                "proj": _linear(sd, p + "attn.proj"),
+            },
+            "fc1": _linear(sd, p + "mlp.fc1"),
+            "fc2": _linear(sd, p + "mlp.fc2"),
+        }
+    return {"params": params}
+
+
+def convert_cobra_state_dict(state_dict: dict, depth: int = 2) -> dict:
+    """COBRA: per-dimensionality ``embed.{d}`` Linear heads (a torch
+    ModuleDict keyed by the input dim — every head present is converted, so
+    one tree serves all supported extractors), ``mamba.layers.{i}.norm`` +
+    ``.mixer`` in mamba-ssm's ``Mamba2`` layout (packed ``in_proj`` emitting
+    [z, x, B, C, dt], depthwise ``conv1d`` [D, 1, K], ``A_log``/``D``/
+    ``dt_bias`` per head, gated-RMSNorm ``norm.weight``, ``out_proj``), and
+    a CLAM-style gated attention net (``attention.attention_{a,b}.0`` +
+    ``attention.attention_c``)."""
+    sd = _strip_prefixes(state_dict)
+    params: dict = {
+        "norm": _ln(sd, "norm"),
+        "attn_a": _linear(sd, "attention.attention_a.0", "attention_a.0"),
+        "attn_b": _linear(sd, "attention.attention_b.0", "attention_b.0"),
+        "attn_c": _linear(sd, "attention.attention_c", "attention_c"),
+    }
+    for key in sd:
+        if key.startswith("embed.") and key.endswith(".weight"):
+            d_in = key.split(".")[1]
+            params[f"embed_{d_in}"] = _linear(sd, f"embed.{d_in}")
+    for i in range(depth):
+        p = f"mamba.layers.{i}."
+        params[f"norm_{i}"] = _ln(sd, p + "norm")
+        conv_w = _t(sd, p + "mixer.conv1d.weight")  # [conv_dim, 1, K]
+        params[f"mamba_{i}"] = {
+            "in_proj": _linear(sd, p + "mixer.in_proj", bias=False),
+            "conv1d_weight": conv_w[:, 0, :].T,  # → [K, conv_dim]
+            "conv1d_bias": _t(sd, p + "mixer.conv1d.bias"),
+            "A_log": _t(sd, p + "mixer.A_log"),
+            "D": _t(sd, p + "mixer.D"),
+            "dt_bias": _t(sd, p + "mixer.dt_bias"),
+            "norm_weight": _t(sd, p + "mixer.norm.weight"),
+            "out_proj": _linear(sd, p + "mixer.out_proj", bias=False),
+        }
+    return {"params": params}
+
+
+def convert_madeleine_state_dict(state_dict: dict) -> dict:
+    """MADELEINE: pre-attention projection (``patch_embedder.0``, a Linear →
+    ReLU Sequential), CLAM-style gated attention heads and a post-attention
+    projection (``post_attention``)."""
+    sd = _strip_prefixes(state_dict)
+    return {
+        "params": {
+            "pre_proj": _linear(sd, "patch_embedder.0", "pre_attn.0"),
+            "attn_a": _linear(sd, "attention.attention_a.0", "attention_a.0"),
+            "attn_b": _linear(sd, "attention.attention_b.0", "attention_b.0"),
+            "attn_c": _linear(sd, "attention.attention_c", "attention_c"),
+            "post_proj": _linear(sd, "post_attention", "post_proj"),
+        }
+    }
