@@ -82,7 +82,14 @@ def _run_preprocess(config: Any, section: Any) -> None:
         cache_tiles_ext=section.cache_tiles_ext,
         generate_hash=section.generate_hash,
         macenko_normalization=section.macenko_normalization,
-        extractor_precision=section.extractor_precision,
+        # only an *explicit* YAML value pins the numeric mode; the default
+        # leaves the STAMP_INT8_EXTRACTION env var in charge (config beats
+        # environment, absence of config defers to it)
+        extractor_precision=(
+            section.extractor_precision
+            if "extractor_precision" in section.model_fields_set
+            else None
+        ),
     )
 
 

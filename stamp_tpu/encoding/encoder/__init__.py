@@ -71,11 +71,14 @@ class Encoder(ABC):
         self.identifier = identifier
         self.precision = precision
         self.required_extractors = required_extractors
+        # precision attrs observed on the input tile h5s (int8 provenance)
+        self._source_precisions: set[str] = set()
 
     # -- public entry points -------------------------------------------------
 
     def encode_slides_(
         self,
+        *,
         output_dir: Path,
         feat_dir: Path,
         device: str = "auto",
@@ -104,6 +107,7 @@ class Encoder(ABC):
 
     def encode_patients_(
         self,
+        *,
         output_dir: Path,
         feat_dir: Path,
         slide_table_path: Path,
@@ -141,13 +145,21 @@ class Encoder(ABC):
     def _run_jobs(
         self,
         jobs: list[_EncodeJob],
-        embed: Callable[[list[np.ndarray], list[CoordsInfo]], np.ndarray],
+        embed: Callable[[list, list[CoordsInfo]], np.ndarray],
         *,
         feat_type: str,
+        read: Callable[[Path], tuple] | None = None,
     ) -> None:
+        """Drain the worklist.  ``read`` maps one input h5 path to a
+        (features, coords) pair; the default reads and validates a single
+        tile-feature file, and subclasses with richer inputs (e.g. EAGLE's
+        paired feature dirs) pass their own."""
+        if read is None:
+            read = lambda p: self._validate_and_read_features(str(p))  # noqa: E731
         progress = tqdm(jobs)
         for job in progress:
             progress.set_description(job.description)
+            self._source_precisions.clear()  # provenance is per output file
             if job.output_path.exists():
                 _logger.info(
                     f"skipping {job.description} because "
@@ -155,13 +167,11 @@ class Encoder(ABC):
                 )
                 continue
 
-            feats_list: list[np.ndarray] = []
+            feats_list: list = []
             coords_list: list[CoordsInfo] = []
             for h5_path in job.input_h5s:
                 try:
-                    feats, coords = self._validate_and_read_features(
-                        str(h5_path)
-                    )
+                    feats, coords = read(h5_path)
                 except (FileNotFoundError, ValueError, OSError) as e:
                     tqdm.write(f"Skipping {h5_path.name}: {e}")
                     continue
@@ -231,6 +241,10 @@ class Encoder(ABC):
                     "Feature file does not have extractor's name in the "
                     f"metadata: {path.name}"
                 )
+            # non-default numeric modes of the *extraction* stage (int8)
+            # must survive into the encoded output's provenance attrs
+            if source_precision := f.attrs.get("precision"):
+                self._source_precisions.add(str(source_precision))
             return (
                 np.asarray(f["feats"]).astype(np.float32),
                 get_coords(f),
@@ -247,5 +261,10 @@ class Encoder(ABC):
             precision=self.precision,
             feat_type=feat_type,
             code_hash=get_processing_code_hash(Path(__file__))[:8],
+            source_precision=(
+                ",".join(sorted(self._source_precisions))
+                if self._source_precisions
+                else None
+            ),
         )
         _logger.debug(f"saved features to {output_path}")

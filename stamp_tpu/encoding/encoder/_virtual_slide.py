@@ -31,6 +31,7 @@ class VirtualSlidePatientMixin:
 
     def encode_patients_(
         self,
+        *,
         output_dir: Path,
         feat_dir: Path,
         slide_table_path: Path,
@@ -54,6 +55,7 @@ class VirtualSlidePatientMixin:
             progress.set_description(str(patient_id))
 
             output_path = (encode_dir / str(patient_id)).with_suffix(".h5")
+            self._source_precisions.clear()  # provenance is per output file
             if output_path.exists():
                 _logger.info(
                     f"skipping {patient_id} because {output_path} already exists"

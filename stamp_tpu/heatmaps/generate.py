@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Collection, Iterable
+from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
 from typing import cast
@@ -21,8 +22,6 @@ import jax
 import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
-from matplotlib.axes import Axes
-from matplotlib.figure import Figure
 from matplotlib.patches import Patch
 from packaging.version import Version
 from PIL import Image
@@ -186,35 +185,39 @@ def _per_tile_scores(
     return np.asarray(jax.nn.softmax(logits, axis=1))
 
 
+# raw PNG resolution: 8 px per 256 µm tile (matches the thumbnail scale)
+_PX_PER_TILE = 8
+
+
 def _vals_to_im(scores: np.ndarray, coords_norm: np.ndarray) -> np.ndarray:
-    """Arranges scores in a 2d grid according to coordinates
-    (reference heatmaps/__init__.py:142-156)."""
-    size = coords_norm.max(0)[::-1] + 1
-    if scores.ndim == 1:
-        scores = scores[:, None]
-    im = np.zeros((*size.tolist(), *scores.shape[1:]), dtype=scores.dtype)
-    flattened_im = im.reshape(-1, *scores.shape[1:])
-    flattened_coords = coords_norm[:, 1] * im.shape[1] + coords_norm[:, 0]
-    flattened_im[flattened_coords] = scores
-    return flattened_im.reshape(im.shape)
+    """Scatter per-tile values onto the [gy, gx, ...] tile grid; cells
+    without a tile stay zero."""
+    values = scores[:, None] if scores.ndim == 1 else scores
+    gx, gy = coords_norm.max(0) + 1
+    grid = np.zeros((gy, gx, *values.shape[1:]), dtype=values.dtype)
+    grid[coords_norm[:, 1], coords_norm[:, 0]] = values
+    return grid
 
 
-def _show_thumb(slide, thumb_ax: Axes, attention: np.ndarray, default_slide_mpp):
+def _slide_thumbnail(
+    slide, grid_shape: tuple[int, int], default_slide_mpp
+) -> np.ndarray:
+    """RGB thumbnail at the raw-PNG scale, cropped to the tile grid."""
     mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
-    dims_um = np.array(slide.dimensions) * mpp
-    thumb_size = tuple(np.round(dims_um * 8 / 256).astype(int).tolist())
-    thumb = slide.get_thumbnail(thumb_size)
-    arr = np.array(thumb)[: attention.shape[0] * 8, : attention.shape[1] * 8]
-    thumb_ax.imshow(arr)
-    return arr
+    extent_um = np.asarray(slide.dimensions, np.float64) * mpp
+    request = tuple(np.round(extent_um * _PX_PER_TILE / 256).astype(int).tolist())
+    thumb = np.asarray(slide.get_thumbnail(request))
+    gy, gx = grid_shape
+    return thumb[: gy * _PX_PER_TILE, : gx * _PX_PER_TILE]
 
 
-def _get_thumb_array(slide, attention: np.ndarray, default_slide_mpp) -> np.ndarray:
-    mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
-    dims_um = np.array(slide.dimensions) * mpp
-    thumb_size = tuple(np.round(dims_um * 8 / 256).astype(int).tolist())
-    thumb = np.array(slide.get_thumbnail(thumb_size))
-    return thumb[: attention.shape[0] * 8, : attention.shape[1] * 8]
+def _save_grid_png(path: Path, rgba: np.ndarray) -> None:
+    """Save an RGBA [gy, gx, 4] float grid as an upscaled nearest PNG."""
+    gy, gx = rgba.shape[:2]
+    Image.fromarray(np.uint8(rgba * 255)).resize(
+        (gx * _PX_PER_TILE, gy * _PX_PER_TILE),
+        resample=Image.Resampling.NEAREST,
+    ).save(path)
 
 
 def _export_ranked_tiles(
@@ -229,98 +232,81 @@ def _export_ranked_tiles(
     topk: int,
     bottomk: int,
 ) -> None:
-    """Save the highest- and lowest-scoring tiles (heatmaps/__init__.py:190-239)."""
-    scores = np.asarray(tile_scores).flatten()
-    if scores.size == 0:
-        return
-
-    def _save_tile(*, prefix: str, rank: int, tile_index: int, score: float) -> None:
-        slide.read_region(
-            tuple(coords_tile_slide_px[tile_index].tolist()),
-            0,
-            (tile_size_slide_px, tile_size_slide_px),
-        ).convert("RGB").save(
-            tiles_dir / f"{prefix}_{rank:02d}-{stem}-{label}={score:0.2f}.jpg"
-        )
-
-    top_count = min(topk, scores.size)
-    if top_count > 0:
-        top_indices = np.argsort(-scores)[:top_count]
-        for rank, index in enumerate(top_indices, start=1):
-            _save_tile(
-                prefix="top",
-                rank=rank,
-                tile_index=int(index),
-                score=float(scores[index]),
+    """Crop the best/worst-scoring tiles out of the WSI as
+    ``{top|bottom}_{rank}-{stem}-{label}={score}.jpg`` (the reviewer-facing
+    evidence artifact; behavior of reference heatmaps/__init__.py:190-239).
+    """
+    scores = np.ravel(np.asarray(tile_scores))
+    ascending = np.argsort(scores)
+    rankings = (("top", ascending[::-1][:topk]), ("bottom", ascending[:bottomk]))
+    for prefix, ranked in rankings:
+        for rank, tile in enumerate(ranked, start=1):
+            x, y = (int(v) for v in coords_tile_slide_px[tile])
+            crop = slide.read_region(
+                (x, y), 0, (tile_size_slide_px, tile_size_slide_px)
             )
-
-    bottom_count = min(bottomk, scores.size)
-    if bottom_count > 0:
-        bottom_indices = np.argsort(scores)[:bottom_count]
-        for rank, index in enumerate(bottom_indices, start=1):
-            _save_tile(
-                prefix="bottom",
-                rank=rank,
-                tile_index=int(index),
-                score=float(scores[index]),
+            crop.convert("RGB").save(
+                tiles_dir
+                / f"{prefix}_{rank:02d}-{stem}-{label}={scores[tile]:0.2f}.jpg"
             )
 
 
-def _show_class_map(
-    class_ax: Axes,
-    top_score_indices: np.ndarray,
-    gradcam_2d: np.ndarray,
+def _class_map_rgba(
+    top_idx_grid: np.ndarray,
+    occupied: np.ndarray,
     categories: Collection[str],
 ) -> tuple[np.ndarray, list[Patch]]:
+    """Pastel map of the per-cell argmax category + matching legend."""
     cmap = plt.get_cmap("Pastel1")
-    classes = cast(np.ndarray, cmap(top_score_indices))
-    classes[..., -1] = (gradcam_2d.sum(-1) > 0) * 1.0
-    class_ax.imshow(classes)
-    legend_patches = [
-        Patch(facecolor=cmap(i), label=cat) for i, cat in enumerate(categories)
-    ]
-    class_ax.legend(handles=legend_patches)
-    return classes, legend_patches
+    rgba = cast(np.ndarray, cmap(top_idx_grid))
+    rgba[..., -1] = occupied.astype(float)
+    legend = [Patch(facecolor=cmap(i), label=c) for i, c in enumerate(categories)]
+    return rgba, legend
 
 
-def _create_overlay(
-    thumb: np.ndarray, score_im: np.ndarray, alpha: float
+def _blend_overlay(
+    thumb: np.ndarray, score_rgba: np.ndarray, alpha: float
 ) -> np.ndarray:
-    thumb_height, thumb_width = thumb.shape[:2]
-    score_resized = Image.fromarray(np.uint8(score_im * 255)).resize(
-        (thumb_width, thumb_height), resample=Image.Resampling.NEAREST
+    """Alpha-blend the heat colors over the thumbnail wherever a tile
+    exists (the heat alpha channel marks coverage)."""
+    base = thumb.astype(np.float64) / 255.0
+    heat = (
+        np.asarray(
+            Image.fromarray(np.uint8(score_rgba * 255)).resize(
+                (thumb.shape[1], thumb.shape[0]),
+                resample=Image.Resampling.NEAREST,
+            ),
+            dtype=np.float64,
+        )
+        / 255.0
     )
-    score_resized = np.array(score_resized) / 255.0
-
-    thumb_float = thumb.astype(float) / 255.0
-    mask = score_resized[..., -1] > 0
-    overlay = thumb_float.copy()
-    overlay[mask] = alpha * score_resized[mask, :3] + (1 - alpha) * thumb_float[mask]
-    return (overlay * 255).astype(np.uint8)
+    blended = base.copy()
+    covered = heat[..., -1] > 0
+    blended[covered] = alpha * heat[covered, :3] + (1 - alpha) * base[covered]
+    return (blended * 255).astype(np.uint8)
 
 
-def _create_plotted_overlay(
-    thumb: np.ndarray,
-    score_im: np.ndarray,
-    category: str,
-    slide_score: float,
-    alpha: float,
-) -> tuple[Figure, Axes]:
-    overlay = _create_overlay(thumb, score_im, alpha)
+def _save_overlay_figure(
+    path: Path,
+    overlay: np.ndarray,
+    title: str,
+    *,
+    with_legend: bool,
+    dpi: int,
+) -> None:
     fig, ax = plt.subplots(figsize=(10, 8))
     ax.imshow(overlay)
-    ax.set_title(f"{category} - Slide Score: {slide_score:.3f}", fontsize=16, pad=20)
+    ax.set_title(title, fontsize=16, pad=20)
     ax.axis("off")
-    if category not in {"regression", "survival"}:
-        legend_elements = [
+    if with_legend:
+        handles = [
             Patch(facecolor="red", alpha=0.7, label="Positive"),
             Patch(facecolor="blue", alpha=0.7, label="Negative"),
         ]
-        ax.legend(
-            handles=legend_elements, loc="upper right", bbox_to_anchor=(0.98, 0.98)
-        )
-    plt.tight_layout()
-    return fig, ax
+        ax.legend(handles=handles, loc="upper right", bbox_to_anchor=(0.98, 0.98))
+    fig.tight_layout()
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
 
 
 def heatmaps_(
@@ -365,6 +351,244 @@ def heatmaps_(
     )
 
 
+@dataclass(frozen=True)
+class _SlideJob:
+    """Everything one slide's heatmap emission needs, assembled up front."""
+
+    stem: str
+    slide: object
+    feats: np.ndarray
+    coords_um: np.ndarray
+    grid_xy: np.ndarray  # integer tile-grid coordinates
+    coords_px: np.ndarray  # level-0 pixel coordinates
+    tile_px: TilePixels
+    plots: Path
+    raw: Path
+    tiles: Path
+    default_slide_mpp: SlideMPP | None
+
+    def grid(self, per_tile: np.ndarray) -> np.ndarray:
+        return _vals_to_im(per_tile, self.grid_xy)
+
+
+def _load_slide_job(
+    wsi_path: Path,
+    h5_path: Path,
+    output_dir: Path,
+    default_slide_mpp: SlideMPP | None,
+) -> _SlideJob:
+    slide = open_slide(wsi_path)
+    slide_mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
+    assert slide_mpp is not None, "could not determine slide MPP"
+
+    with h5py.File(h5_path) as h5:
+        feat_type = h5.attrs.get("feat_type", None)
+        if feat_type is not None and feat_type != "tile":
+            raise ValueError(
+                f"Feature file {h5_path} is a slide or patient level feature. "
+                "Heatmaps are currently supported for tile-level features only."
+            )
+        feats = np.asarray(h5["feats"]).astype(np.float32)
+        coords_info = get_coords(h5)
+
+    coords_um = coords_info.coords_um.astype(np.float32)
+    stride_um = Microns(get_stride(coords_um))
+    dirs = {
+        kind: output_dir / h5_path.stem / kind
+        for kind in ("plots", "raw", "tiles")
+    }
+    for path in dirs.values():
+        path.mkdir(exist_ok=True, parents=True)
+
+    return _SlideJob(
+        stem=h5_path.stem,
+        slide=slide,
+        feats=feats,
+        coords_um=coords_um,
+        grid_xy=np.round(coords_um / stride_um).astype(np.int64),
+        coords_px=np.round(coords_um / slide_mpp).astype(np.int64),
+        tile_px=TilePixels(
+            int(round(float(coords_info.tile_size_um) / slide_mpp))
+        ),
+        plots=dirs["plots"],
+        raw=dirs["raw"],
+        tiles=dirs["tiles"],
+        default_slide_mpp=default_slide_mpp,
+    )
+
+
+def _emit_classification(
+    job: _SlideJob,
+    model,
+    variables,
+    logits: np.ndarray,
+    *,
+    opacity: float,
+    topk: int,
+    bottomk: int,
+) -> None:
+    """Classification heatmaps: per-category diverging maps whose sign is
+    the category's *support* (winner margin vs runner-up) and whose
+    intensity is Grad-CAM attention; plus class map, overlays, overview,
+    and ranked tiles for the predicted category."""
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits)))
+    categories = list(model.categories)
+    predicted = int(probs.argmax())
+
+    gradcam = _gradcam_per_category(
+        model, variables, job.feats, job.coords_um
+    )  # [tile, category]
+    scores = _per_tile_scores(model, variables, job.feats, job.coords_um)
+    occupied = job.grid(np.ones(len(job.feats))).squeeze(-1) > 0
+
+    thumb = _slide_thumbnail(job.slide, occupied.shape, job.default_slide_mpp)
+    Image.fromarray(thumb).save(job.raw / f"thumbnail-{job.stem}.png")
+
+    class_rgba, legend = _class_map_rgba(
+        job.grid(scores).argmax(-1), occupied, categories
+    )
+    _save_grid_png(job.raw / f"{job.stem}-classmap.png", class_rgba)
+
+    # winner index + top-2 probabilities per tile drive the support term
+    order = np.argsort(-scores, axis=-1)
+    winner = order[:, 0]
+    first, second = np.take_along_axis(scores, order[:, :2], axis=-1).T
+
+    panels: list[tuple[str, np.ndarray]] = []
+    for pos, category in enumerate(categories):
+        # winner tiles: margin over the runner-up; others: deficit vs winner
+        support = np.where(
+            winner == pos, scores[:, pos] - second, scores[:, pos] - first
+        )
+        rival_cam = np.delete(gradcam, pos, axis=1).max(-1)
+        attention = np.where(
+            winner == pos,
+            gradcam[:, pos] / gradcam.max(),
+            rival_cam / max(rival_cam.max(), 1e-12),
+        )
+        heat = support * attention / max(attention.max(), 1e-12)
+
+        rgba = cast(
+            np.ndarray,
+            plt.get_cmap("RdBu_r")(job.grid(heat / 2 + 0.5).squeeze(-1)),
+        )
+        rgba[..., -1] = job.grid(attention).squeeze(-1) > 0
+        panels.append((category, rgba))
+
+        _save_grid_png(
+            job.raw / f"{job.stem}-{category}={probs[pos]:0.2f}.png", rgba
+        )
+        overlay = _blend_overlay(thumb, rgba, opacity)
+        Image.fromarray(overlay).save(
+            job.raw / f"raw-overlay-{job.stem}-{category}.png"
+        )
+        _save_overlay_figure(
+            job.plots / f"overlay-{job.stem}-{category}.png",
+            overlay,
+            f"{category} - Slide Score: {probs[pos]:.3f}",
+            with_legend=True,
+            dpi=150,
+        )
+        if pos == predicted:
+            _export_ranked_tiles(
+                slide=job.slide,
+                tiles_dir=job.tiles,
+                stem=job.stem,
+                label=category,
+                tile_scores=heat,
+                coords_tile_slide_px=job.coords_px,
+                tile_size_slide_px=job.tile_px,
+                topk=topk,
+                bottomk=bottomk,
+            )
+
+    # overview sheet: thumbnail + class map on top, one panel per category
+    fig, axs = plt.subplots(nrows=2, ncols=max(2, len(categories)), figsize=(12, 8))
+    axs[0, 0].imshow(thumb)
+    axs[0, 1].imshow(class_rgba)
+    axs[0, 1].legend(handles=legend)
+    for ax, (category, rgba), p in zip(axs[1, :], panels, probs):
+        ax.imshow(rgba)
+        ax.set_title(f"{category} {p:1.2f}")
+    for ax in axs.ravel():
+        ax.axis("off")
+    fig.savefig(job.plots / f"overview-{job.stem}.png")
+    plt.close(fig)
+
+
+def _emit_scalar(
+    job: _SlideJob,
+    model,
+    variables,
+    logits: np.ndarray,
+    *,
+    task: str,
+    opacity: float,
+    topk: int,
+    bottomk: int,
+) -> None:
+    """Regression/survival heatmaps: single Grad-CAM relevance map.
+
+    Survival models with a stored ``train_pred_median`` get a diverging map
+    centered on that cut-off (the same threshold statistics uses for KM
+    splits); otherwise a sequential colormap."""
+    value = float(np.asarray(logits).squeeze())
+
+    gradcam = _gradcam_single(model, variables, job.feats, job.coords_um)
+    relevance = gradcam / max(gradcam.max(), 1e-8)
+    raw_grid = job.grid(gradcam).squeeze(-1)
+    normed = (raw_grid - raw_grid.min()) / (
+        raw_grid.max() - raw_grid.min() + 1e-8
+    )
+
+    cutoff = model.hparams.get("train_pred_median", None)
+    if task == "survival" and cutoff is not None:
+        centered = normed - cutoff
+        rgba = plt.get_cmap("RdBu_r")(
+            centered / (2 * np.abs(centered).max() + 1e-8) + 0.5
+        )
+    else:
+        rgba = plt.get_cmap("Reds" if task == "survival" else "magma")(normed)
+    rgba[..., -1] = (raw_grid > 0).astype(np.float32)
+
+    _save_grid_png(job.raw / f"{job.stem}-heatmap.png", rgba)
+
+    thumb = _slide_thumbnail(job.slide, raw_grid.shape, job.default_slide_mpp)
+    Image.fromarray(thumb).save(job.raw / f"thumbnail-{job.stem}.png")
+
+    overlay = _blend_overlay(thumb, rgba, opacity)
+    Image.fromarray(overlay).save(job.raw / f"raw-overlay-{job.stem}.png")
+    _save_overlay_figure(
+        job.plots / f"overlay-{job.stem}.png",
+        overlay,
+        f"{task} - Slide Score: {value:.3f}",
+        with_legend=False,
+        dpi=300,
+    )
+
+    fig, axs = plt.subplots(1, 2, figsize=(12, 6), facecolor="white")
+    for ax, image, title in zip(
+        axs, (thumb, overlay), ("Thumbnail", f"Prediction Heatmap ({value:.3f})")
+    ):
+        ax.imshow(image)
+        ax.set_title(title)
+        ax.axis("off")
+    fig.savefig(job.plots / f"overview-{job.stem}.png", dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+    _export_ranked_tiles(
+        slide=job.slide,
+        tiles_dir=job.tiles,
+        stem=job.stem,
+        label=task,
+        tile_scores=relevance,
+        coords_tile_slide_px=job.coords_px,
+        tile_size_slide_px=job.tile_px,
+        topk=topk,
+        bottomk=bottomk,
+    )
+
+
 def _heatmaps_impl(
     *,
     feature_dir: Path,
@@ -377,273 +601,44 @@ def _heatmaps_impl(
     topk: int,
     bottomk: int,
 ) -> None:
+    model, variables = load_model_from_ckpt(checkpoint_path)
+    stamp_version = str(model.hparams.get("stamp_version", ""))
+    if Version(stamp_version) < Version("2.5.0"):
+        raise ValueError(
+            f"model has been built with stamp version {stamp_version} "
+            "which is incompatible with the current version."
+        )
+    fwd = _forward_fn(model, variables)
+
     if slide_paths is not None:
-        wsis_to_process = (wsi_dir / slide for slide in slide_paths)
+        worklist = (wsi_dir / slide for slide in slide_paths)
     else:
-        wsis_to_process = (
+        worklist = (
             p for ext in supported_extensions for p in wsi_dir.glob(f"**/*{ext}")
         )
 
-    for wsi_path in wsis_to_process:
+    for wsi_path in worklist:
         h5_path = feature_dir / wsi_path.with_suffix(".h5").name
-
         if not h5_path.exists():
             _logger.info(f"could not find matching h5 file at {h5_path}. Skipping...")
             continue
 
-        slide_output_dir = output_dir / h5_path.stem
-        plots_dir = slide_output_dir / "plots"
-        raw_dir = slide_output_dir / "raw"
-        tiles_dir = slide_output_dir / "tiles"
-        for dir_path in [plots_dir, raw_dir, tiles_dir]:
-            dir_path.mkdir(exist_ok=True, parents=True)
-
         _logger.info(f"creating heatmaps for {wsi_path.name}")
+        job = _load_slide_job(wsi_path, h5_path, output_dir, default_slide_mpp)
+        logits = np.asarray(
+            fwd(jnp.asarray(job.feats), jnp.asarray(job.coords_um))
+        )
 
-        slide = open_slide(wsi_path)
-        slide_mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
-        assert slide_mpp is not None, "could not determine slide MPP"
-
-        with h5py.File(h5_path) as h5:
-            feat_type = h5.attrs.get("feat_type", None)
-            if feat_type is not None and feat_type != "tile":
-                raise ValueError(
-                    f"Feature file {h5_path} is a slide or patient level feature. "
-                    "Heatmaps are currently supported for tile-level features only."
-                )
-            feats = np.asarray(h5["feats"]).astype(np.float32)
-            coords_info = get_coords(h5)
-            coords_um = coords_info.coords_um.astype(np.float32)
-            stride_um = Microns(get_stride(coords_um))
-            tile_size_slide_px = TilePixels(
-                int(round(float(coords_info.tile_size_um) / slide_mpp))
+        task = model.hparams["task"]
+        if task == "classification":
+            _emit_classification(
+                job, model, variables, logits,
+                opacity=opacity, topk=topk, bottomk=bottomk,
             )
-
-        coords_norm = np.round(coords_um / stride_um).astype(np.int64)
-        coords_tile_slide_px = np.round(coords_um / slide_mpp).astype(np.int64)
-
-        model, variables = load_model_from_ckpt(checkpoint_path)
-
-        stamp_version = str(model.hparams.get("stamp_version", ""))
-        if Version(stamp_version) < Version("2.5.0"):
-            raise ValueError(
-                f"model has been built with stamp version {stamp_version} "
-                "which is incompatible with the current version."
+        elif task in ("regression", "survival"):
+            _emit_scalar(
+                job, model, variables, logits,
+                task=task, opacity=opacity, topk=topk, bottomk=bottomk,
             )
-
-        fwd = _forward_fn(model, variables)
-        slide_score = np.asarray(fwd(jnp.asarray(feats), jnp.asarray(coords_um)))
-
-        match model.hparams["task"]:
-            case "classification":
-                slide_score = np.asarray(jax.nn.softmax(jnp.asarray(slide_score)))
-                highest_prob_class_idx = int(slide_score.argmax())
-
-                gradcam = _gradcam_per_category(model, variables, feats, coords_um)
-                gradcam_2d = _vals_to_im(gradcam, coords_norm)
-
-                scores = _per_tile_scores(model, variables, feats, coords_um)
-                scores_2d = _vals_to_im(scores, coords_norm)
-
-                categories = list(model.categories)
-                fig, axs = plt.subplots(
-                    nrows=2, ncols=max(2, len(categories)), figsize=(12, 8)
-                )
-
-                # class map: index of top-scoring class per tile position
-                top1_idx = scores_2d.argmax(-1)
-                classes_img, _legend = _show_class_map(
-                    class_ax=axs[0, 1],
-                    top_score_indices=top1_idx,
-                    gradcam_2d=gradcam_2d,
-                    categories=categories,
-                )
-                target_size = np.array(classes_img.shape[:2][::-1]) * 8
-                Image.fromarray(np.uint8(classes_img * 255)).resize(
-                    tuple(target_size), resample=Image.Resampling.NEAREST
-                ).save(raw_dir / f"{h5_path.stem}-classmap.png")
-
-                thumb = _show_thumb(
-                    slide=slide,
-                    thumb_ax=axs[0, 0],
-                    attention=_vals_to_im(
-                        np.zeros((len(feats), 1)), coords_norm
-                    ).squeeze(-1),
-                    default_slide_mpp=default_slide_mpp,
-                )
-
-                # top-2 scores per tile for category support
-                order = np.argsort(-scores, axis=-1)
-                top1 = order[:, 0]
-                top2_val = np.take_along_axis(scores, order, axis=-1)[:, 1]
-                top1_val = np.take_along_axis(scores, order, axis=-1)[:, 0]
-
-                attention = None
-                for ax, (pos_idx, category) in zip(
-                    axs[1, :], enumerate(categories)
-                ):
-                    category_support = np.where(
-                        top1 == pos_idx,
-                        scores[:, pos_idx] - top2_val,
-                        scores[:, pos_idx] - top1_val,
-                    )
-                    assert ((category_support >= -1) & (category_support <= 1)).all()
-
-                    others_idx = list(set(range(len(categories))) - {pos_idx})
-                    others = gradcam[:, others_idx].max(-1)
-                    attention = np.where(
-                        top1 == pos_idx,
-                        gradcam[:, pos_idx] / gradcam.max(),
-                        others / max(others.max(), 1e-12),
-                    )
-
-                    category_score = (
-                        category_support * attention / max(attention.max(), 1e-12)
-                    )
-
-                    score_im = cast(
-                        np.ndarray,
-                        plt.get_cmap("RdBu_r")(
-                            _vals_to_im(
-                                category_score[:, None] / 2 + 0.5, coords_norm
-                            ).squeeze(-1)
-                        ),
-                    )
-                    score_im[..., -1] = (
-                        _vals_to_im(attention[:, None], coords_norm).squeeze(-1) > 0
-                    )
-
-                    ax.imshow(score_im)
-                    ax.set_title(f"{category} {slide_score[pos_idx]:1.2f}")
-                    target_size = np.array(score_im.shape[:2][::-1]) * 8
-                    Image.fromarray(np.uint8(score_im * 255)).resize(
-                        tuple(target_size), resample=Image.Resampling.NEAREST
-                    ).save(
-                        raw_dir
-                        / f"{h5_path.stem}-{category}={slide_score[pos_idx]:0.2f}.png"
-                    )
-
-                    overlay = _create_overlay(
-                        thumb=thumb, score_im=score_im, alpha=opacity
-                    )
-                    Image.fromarray(overlay).save(
-                        raw_dir / f"raw-overlay-{h5_path.stem}-{category}.png"
-                    )
-
-                    overlay_fig, _overlay_ax = _create_plotted_overlay(
-                        thumb=thumb,
-                        score_im=score_im,
-                        category=category,
-                        slide_score=float(slide_score[pos_idx]),
-                        alpha=opacity,
-                    )
-                    overlay_fig.savefig(
-                        plots_dir / f"overlay-{h5_path.stem}-{category}.png",
-                        dpi=150,
-                        bbox_inches="tight",
-                    )
-                    plt.close(overlay_fig)
-
-                    if pos_idx == highest_prob_class_idx:
-                        _export_ranked_tiles(
-                            slide=slide,
-                            tiles_dir=tiles_dir,
-                            stem=h5_path.stem,
-                            label=category,
-                            tile_scores=category_score,
-                            coords_tile_slide_px=coords_tile_slide_px,
-                            tile_size_slide_px=tile_size_slide_px,
-                            topk=topk,
-                            bottomk=bottomk,
-                        )
-
-                assert attention is not None
-
-                Image.fromarray(thumb).save(raw_dir / f"thumbnail-{h5_path.stem}.png")
-                for ax in axs.ravel():
-                    ax.axis("off")
-                fig.savefig(plots_dir / f"overview-{h5_path.stem}.png")
-                plt.close(fig)
-
-            case "regression" | "survival" as task:
-                slide_score_f = float(np.asarray(slide_score).squeeze())
-
-                gradcam = _gradcam_single(model, variables, feats, coords_um)
-                tile_relevance = gradcam / max(gradcam.max(), 1e-8)
-                gradcam_2d = _vals_to_im(gradcam, coords_norm).squeeze(-1)
-                gradcam_2d = (gradcam_2d - gradcam_2d.min()) / (
-                    gradcam_2d.max() - gradcam_2d.min() + 1e-8
-                )
-
-                train_pred_median = model.hparams.get("train_pred_median", None)
-                if task == "survival" and train_pred_median is not None:
-                    centered = gradcam_2d - train_pred_median
-                    score_im = plt.get_cmap("RdBu_r")(
-                        centered / (2 * np.abs(centered).max() + 1e-8) + 0.5
-                    )
-                elif task == "survival":
-                    score_im = plt.get_cmap("Reds")(gradcam_2d)
-                else:
-                    score_im = plt.get_cmap("magma")(gradcam_2d)
-
-                alpha_mask = _vals_to_im(gradcam, coords_norm).squeeze(-1)
-                score_im[..., -1] = (alpha_mask > 0).astype(np.float32)
-
-                target_size = np.array(score_im.shape[:2][::-1]) * 8
-                Image.fromarray(np.uint8(score_im * 255)).resize(
-                    tuple(target_size), resample=Image.Resampling.NEAREST
-                ).save(raw_dir / f"{h5_path.stem}-heatmap.png")
-
-                thumb = _get_thumb_array(
-                    slide=slide,
-                    attention=_vals_to_im(np.zeros((len(feats), 1)), coords_norm),
-                    default_slide_mpp=default_slide_mpp,
-                )
-                Image.fromarray(thumb).save(raw_dir / f"thumbnail-{h5_path.stem}.png")
-
-                overlay = _create_overlay(
-                    thumb=thumb, score_im=score_im, alpha=opacity
-                )
-                Image.fromarray(overlay).save(
-                    raw_dir / f"raw-overlay-{h5_path.stem}.png"
-                )
-
-                overlay_fig, _overlay_ax = _create_plotted_overlay(
-                    thumb=thumb,
-                    score_im=score_im,
-                    category=task,
-                    slide_score=slide_score_f,
-                    alpha=opacity,
-                )
-                overlay_fig.savefig(
-                    plots_dir / f"overlay-{h5_path.stem}.png",
-                    dpi=300,
-                    bbox_inches="tight",
-                )
-                plt.close(overlay_fig)
-
-                fig, axs = plt.subplots(1, 2, figsize=(12, 6), facecolor="white")
-                axs[0].imshow(thumb)
-                axs[0].set_title("Thumbnail")
-                axs[1].imshow(overlay)
-                axs[1].set_title(f"Prediction Heatmap ({slide_score_f:.3f})")
-                for ax in axs:
-                    ax.axis("off")
-                fig.savefig(
-                    plots_dir / f"overview-{h5_path.stem}.png",
-                    dpi=300,
-                    bbox_inches="tight",
-                )
-                plt.close(fig)
-
-                _export_ranked_tiles(
-                    slide=slide,
-                    tiles_dir=tiles_dir,
-                    stem=h5_path.stem,
-                    label=task,
-                    tile_scores=tile_relevance,
-                    coords_tile_slide_px=coords_tile_slide_px,
-                    tile_size_slide_px=tile_size_slide_px,
-                    topk=topk,
-                    bottomk=bottomk,
-                )
+        else:
+            raise ValueError(f"unsupported task for heatmaps: {task}")

@@ -185,9 +185,11 @@ def write_tile_feats_atomic(
     tile_size_um: Microns,
     tile_size_px: TilePixels,
     code_hash: str,
+    precision: str | None = None,
 ) -> None:
     """Atomically write a tile-level feature file with the reference attrs
-    (reference preprocessing/__init__.py:344-366)."""
+    (reference preprocessing/__init__.py:344-366).  ``precision`` is stamped
+    only for non-default numeric modes (int8 provenance)."""
     output_path.parent.mkdir(parents=True, exist_ok=True)
     with NamedTemporaryFile(dir=output_path.parent, delete=False) as tmp:
         try:
@@ -201,6 +203,8 @@ def write_tile_feats_atomic(
                 h5_fp.attrs["tile_size_px"] = tile_size_px
                 h5_fp.attrs["code_hash"] = code_hash
                 h5_fp.attrs["feat_type"] = "tile"
+                if precision is not None:
+                    h5_fp.attrs["precision"] = precision
         except Exception:
             Path(tmp.name).unlink(missing_ok=True)
             raise
@@ -215,9 +219,12 @@ def write_pooled_feats_atomic(
     precision: str,
     feat_type: str,
     code_hash: str,
+    source_precision: str | None = None,
 ) -> None:
     """Atomically write a slide/patient-level feature file
-    (reference encoding/encoder/__init__.py:203-229)."""
+    (reference encoding/encoder/__init__.py:203-229).  ``source_precision``
+    carries the numeric mode of the *tile extraction* stage when it was
+    non-default (int8 provenance survives pooling)."""
     output_path.parent.mkdir(parents=True, exist_ok=True)
     with NamedTemporaryFile(dir=output_path.parent, delete=False) as tmp:
         try:
@@ -229,6 +236,8 @@ def write_pooled_feats_atomic(
                 f.attrs["stamp_version"] = stamp_tpu.__version__
                 f.attrs["code_hash"] = code_hash
                 f.attrs["feat_type"] = feat_type
+                if source_precision is not None:
+                    f.attrs["source_precision"] = source_precision
         except Exception:
             Path(tmp.name).unlink(missing_ok=True)
             raise

@@ -10,10 +10,10 @@ lets the training step stay compiled once.
 from __future__ import annotations
 
 import logging
+import threading
 from collections.abc import Callable, Iterable, Iterator, Mapping, Sequence
 from dataclasses import KW_ONLY, dataclass, field
 from io import BytesIO
-from itertools import groupby
 from pathlib import Path
 from typing import IO, Any, BinaryIO, Generic, TextIO, TypeAlias, Union, cast
 
@@ -68,39 +68,68 @@ class PatientData(Generic[GroundTruthType]):
 # ---------------------------------------------------------------------------
 
 
+_TABLE_LOADERS: dict[str, Callable[..., pd.DataFrame]] = {
+    ".csv": pd.read_csv,
+    ".xlsx": pd.read_excel,
+}
+
+
 def read_table(path: Path | TextIO, **kwargs) -> pd.DataFrame:
+    """Load a clini/slide table; file-like inputs are treated as CSV."""
     if not isinstance(path, Path):
         return pd.read_csv(path, **kwargs)
-    elif path.suffix == ".xlsx":
-        return pd.read_excel(path, **kwargs)
-    elif path.suffix == ".csv":
-        return pd.read_csv(path, **kwargs)
-    else:
+    loader = _TABLE_LOADERS.get(path.suffix)
+    if loader is None:
         raise ValueError(
-            "table to load has to either be an excel (`*.xlsx`) or csv (`*.csv`) file."
+            "table to load has to either be an excel (`*.xlsx`) or csv "
+            "(`*.csv`) file."
         )
+    return loader(path, **kwargs)
 
 
-def _parse_survival_status(value) -> int | None:
-    """Parse survival status into 1 (event) / 0 (censored).
+def _read_table_columns(
+    path: Path | TextIO, columns: list[PandasLabel]
+) -> pd.DataFrame:
+    """Read exactly ``columns`` as strings, naming any missing column."""
+    try:
+        return read_table(path, usecols=columns, dtype=str)
+    except ValueError as e:
+        raise ValueError(
+            f"table is missing one of the columns {columns}: {e}"
+        ) from e
 
-    Reference data.py:1164-1201; the token sets are replicated verbatim.
+
+# tokens that mean "no value" in hand-curated survival-time columns
+# (reference data.py:957-983)
+_MISSING_TOKENS = [
+    "NA", "NaN", "nan", "None", "none", "N/A", "n/a", "NULL", "null",
+    "", " ", "?", "-", "--", "#N/A", "#NA", "=#VALUE!",
+]  # fmt: skip
+
+# free-form survival-status vocabularies (reference data.py:1164-1201);
+# comparison happens on the stripped, lowercased token
+_EVENT_TOKENS = {"1", "event", "dead", "deceased", "yes", "y", "true"}
+_CENSORED_TOKENS = {"0", "alive", "censored", "no", "false"}
+
+
+def _parse_survival_status(value) -> int:
+    """Map a free-form status cell to 1 (event occurred) / 0 (censored).
+
+    Strings outside both vocabularies fall through to numeric parsing,
+    where any positive number counts as an event.
     """
-    s = str(value).strip().lower()
-    positives = {"1", "event", "dead", "deceased", "yes", "y", "True", "true"}
-    negatives = {"0", "alive", "censored", "no", "false"}
-    if s in positives:
+    token = str(value).strip().lower()
+    if token in _EVENT_TOKENS:
         return 1
-    elif s in negatives:
+    if token in _CENSORED_TOKENS:
         return 0
     try:
-        f = float(s)
-        return 1 if f > 0 else 0
+        return int(float(token) > 0)
     except ValueError:
         raise ValueError(
-            f"Unrecognized survival status: '{value}'. "
-            f"Expected one of {sorted(positives | negatives)} or a numeric value."
-        )
+            f"Unrecognized survival status: {value!r}. Expected one of "
+            f"{sorted(_EVENT_TOKENS | _CENSORED_TOKENS)} or a numeric value."
+        ) from None
 
 
 def patient_to_ground_truth_from_clini_table_(
@@ -109,59 +138,35 @@ def patient_to_ground_truth_from_clini_table_(
     patient_label: PandasLabel,
     ground_truth_label: PandasLabel | Sequence[PandasLabel],
 ) -> dict[PatientId, Any]:
-    """Load patient → ground truth (single- or multi-target) from a clini table.
+    """Load patient → ground truth from a clini table.
 
-    Reference data.py:865-933.
+    A single column name yields {patient: value}; a sequence of column
+    names yields {patient: {column: value-or-None}} (multi-target), keeping
+    patients for whom at least one target is present (behavior of reference
+    data.py:865-933).
     """
     if isinstance(ground_truth_label, str):
-        cols = [patient_label, ground_truth_label]
-        multi = False
-        target_cols_inner: list[PandasLabel] = []
-    else:
-        cols = [patient_label, *list(ground_truth_label)]
-        multi = True
-        target_cols_inner = [c for c in cols if c != patient_label]
+        table = _read_table_columns(
+            clini_table_path, [patient_label, ground_truth_label]
+        ).dropna(subset=[ground_truth_label])
+        series = table.set_index(patient_label)[ground_truth_label]
+        if not series.index.is_unique:
+            dupes = sorted(set(series.index[series.index.duplicated()]))
+            raise ValueError(f"duplicate patients in clini table: {dupes}")
+        return cast(dict[PatientId, Any], series.to_dict())
 
-    clini_df = read_table(clini_table_path, usecols=cols, dtype=str)
-
-    if multi:
-        clini_df = clini_df.dropna(subset=target_cols_inner, how="all")
-    else:
-        clini_df = clini_df.dropna(subset=[ground_truth_label])
-
-    try:
-        if multi:
-            result: dict[PatientId, dict[str, GroundTruth | None]] = {}
-            for _, row in clini_df.iterrows():
-                pid = row[patient_label]
-                result[pid] = {
-                    col: (None if pd.isna(row[col]) else str(row[col]))
-                    for col in target_cols_inner
-                }
-            return result
-        else:
-            return cast(
-                dict[PatientId, Any],
-                clini_df.set_index(patient_label, verify_integrity=True)[
-                    cast(PandasLabel, ground_truth_label)
-                ].to_dict(),
-            )
-    except KeyError as e:
-        if patient_label not in clini_df:
-            raise ValueError(
-                f"{patient_label} was not found in clini table "
-                f"(columns in clini table: {clini_df.columns})"
-            ) from e
-        raise ValueError(
-            "One or more ground truth columns were not found in clini table "
-            f"(columns in clini table: {clini_df.columns})"
-        ) from e
-
-
-_MISSING_TOKENS = [
-    "NA", "NaN", "nan", "None", "none", "N/A", "n/a", "NULL", "null",
-    "", " ", "?", "-", "--", "#N/A", "#NA", "=#VALUE!",
-]  # fmt: skip
+    targets = list(ground_truth_label)
+    table = _read_table_columns(
+        clini_table_path, [patient_label, *targets]
+    ).dropna(subset=targets, how="all")
+    # NaN → None per cell; later targets win on duplicated patient rows
+    per_patient = table.set_index(patient_label)[targets]
+    return {
+        PatientId(str(pid)): {
+            t: (None if pd.isna(v) else str(v)) for t, v in row.items()
+        }
+        for pid, row in per_patient.iterrows()
+    }
 
 
 def patient_to_survival_from_clini_table_(
@@ -171,29 +176,27 @@ def patient_to_survival_from_clini_table_(
     time_label: PandasLabel,
     status_label: PandasLabel,
 ) -> dict[PatientId, tuple[float | None, int | None]]:
-    """Load patient → (time, event) survival ground truth.
+    """Load patient → (follow-up time, event indicator) ground truth.
 
-    Reference data.py:936-1002, incl. messy-string normalization.
+    Messy-string handling per reference data.py:936-1002: missing-value
+    tokens in the time column become NaN, the status column is normalized
+    to lowercase, and patients without a usable time are dropped.
     """
-    clini_df = read_table(
-        clini_table_path, usecols=[patient_label, time_label, status_label], dtype=str
+    table = _read_table_columns(
+        clini_table_path, [patient_label, time_label, status_label]
     )
-    clini_df[time_label] = clini_df[time_label].replace(_MISSING_TOKENS, np.nan)
-    clini_df[status_label] = clini_df[status_label].str.strip().str.lower()
-    clini_df = clini_df.dropna(subset=[time_label, status_label], how="all")
+    time = pd.to_numeric(
+        table[time_label].replace(_MISSING_TOKENS, np.nan), errors="raise"
+    )
+    status = table[status_label].str.strip().str.lower()
 
-    patient_to_ground_truth: dict[PatientId, tuple[float | None, int | None]] = {}
-    for _, row in clini_df.iterrows():
-        pid = row[patient_label]
-        time_str = row[time_label]
-        status_str = row[status_label]
-        if pd.isna(time_str):
-            continue
-        status = _parse_survival_status(status_str)
-        time_val = None if pd.isna(time_str) else float(time_str)
-        patient_to_ground_truth[pid] = (time_val, status)
-
-    return patient_to_ground_truth
+    usable = time.notna()  # a status without a time is unusable either way
+    return {
+        PatientId(str(pid)): (float(t), _parse_survival_status(s))
+        for pid, t, s in zip(
+            table.loc[usable, patient_label], time[usable], status[usable]
+        )
+    }
 
 
 def slide_to_patient_from_slide_table_(
@@ -203,52 +206,48 @@ def slide_to_patient_from_slide_table_(
     patient_label: PandasLabel,
     filename_label: PandasLabel,
 ) -> dict[FeaturePath, PatientId]:
-    """Slide-table → {feature path: patient}, verifying ``.h5`` extensions
-    (reference data.py:1005-1041)."""
-    slide_df = read_table(
-        slide_table_path, usecols=[patient_label, filename_label], dtype=str
-    )
-    for x in slide_df[filename_label]:
-        if not str(x).endswith(".h5"):
-            raise ValueError(
-                "One or more files are missing the .h5 extension in the "
-                "filename_label column. The first file missing the .h5 "
-                "extension is: " + str(x) + "."
-            )
+    """Slide table → {feature-file path: patient id}.
+
+    Every filename must carry the ``.h5`` extension (the table names
+    *feature files*, not WSIs — a classic configuration mistake caught
+    here, reference data.py:1005-1041) and must be unique.
+    """
+    table = _read_table_columns(slide_table_path, [patient_label, filename_label])
+    filenames = table[filename_label].astype(str)
+    if not (is_h5 := filenames.str.endswith(".h5")).all():
+        raise ValueError(
+            "One or more files are missing the .h5 extension in the "
+            "filename_label column. The first file missing the .h5 "
+            f"extension is: {filenames[~is_h5].iloc[0]}."
+        )
+    if (dup := filenames.duplicated()).any():
+        raise ValueError(
+            f"duplicate slide filenames in slide table: "
+            f"{sorted(set(filenames[dup]))}"
+        )
     return {
-        FeaturePath(feature_dir / cast(str, k)): PatientId(cast(str, patient))
-        for k, patient in slide_df.set_index(filename_label, verify_integrity=True)[
-            patient_label
-        ].items()
+        FeaturePath(feature_dir / fname): PatientId(str(pid))
+        for fname, pid in zip(filenames, table[patient_label])
     }
 
 
-def _log_patient_slide_feature_inconsistencies(
+def _warn_on_incomplete_cohort(
     *,
     patient_to_ground_truth: Mapping[PatientId, Any],
     slide_to_patient: Mapping[FeaturePath, PatientId],
 ) -> None:
-    """Reference data.py:1115-1147."""
-    if (
-        patients_without_slides := patient_to_ground_truth.keys()
-        - set(slide_to_patient.values())
+    """Surface clini/slide-table/feature-dir disagreements before they
+    silently shrink the cohort (behavior of reference data.py:1115-1147)."""
+    clini_patients = set(patient_to_ground_truth)
+    slide_patients = set(slide_to_patient.values())
+    for missing, message in (
+        (clini_patients - slide_patients, "some patients have no associated slides"),
+        (slide_patients - clini_patients, "some patients have no clinical information"),
     ):
-        _logger.warning(
-            f"some patients have no associated slides: {patients_without_slides}"
-        )
-    if patients_without_ground_truth := (
-        set(slide_to_patient.values()) - patient_to_ground_truth.keys()
-    ):
-        _logger.warning(
-            f"some patients have no clinical information: {patients_without_ground_truth}"
-        )
-    if slides_without_features := {
-        slide for slide in slide_to_patient.keys() if not slide.exists()
-    }:
-        slides_list = sorted(s.name for s in slides_without_features)
-        _logger.warning(
-            "some feature files could not be found: %s", ", ".join(slides_list)
-        )
+        if missing:
+            _logger.warning(f"{message}: {missing}")
+    if absent := sorted(p.name for p in slide_to_patient if not p.exists()):
+        _logger.warning("some feature files could not be found: %s", ", ".join(absent))
 
 
 def filter_complete_patient_data_(
@@ -257,44 +256,97 @@ def filter_complete_patient_data_(
     slide_to_patient: Mapping[FeaturePath, PatientId],
     drop_patients_with_missing_ground_truth: bool,
 ) -> Mapping[PatientId, PatientData]:
-    """Aggregate info for all patients with complete data (reference data.py:1057-1112)."""
-    _log_patient_slide_feature_inconsistencies(
+    """Assemble PatientData for every patient with both a ground truth and
+    at least one existing feature file (behavior of reference
+    data.py:1057-1112; patients explicitly mapped to None are kept).
+
+    Slides are accumulated per patient over the whole table — the rows of
+    one patient do not need to be contiguous.
+    """
+    _warn_on_incomplete_cohort(
         patient_to_ground_truth=patient_to_ground_truth,
         slide_to_patient=slide_to_patient,
     )
 
-    patient_to_slides: dict[PatientId, set[FeaturePath]] = {
-        patient: set(slides)
-        for patient, slides in groupby(
-            slide_to_patient, lambda slide: slide_to_patient[slide]
-        )
-    }
+    patient_to_slides: dict[PatientId, set[FeaturePath]] = {}
+    for feature_path, patient_id in slide_to_patient.items():
+        patient_to_slides.setdefault(patient_id, set()).add(feature_path)
 
-    if not drop_patients_with_missing_ground_truth:
-        patient_to_ground_truth = {
-            **{patient_id: None for patient_id in patient_to_slides},
+    eligible: Mapping[PatientId, Any]
+    if drop_patients_with_missing_ground_truth:
+        eligible = patient_to_ground_truth
+    else:
+        # slide-table patients without clinical info participate with a
+        # ground truth of None (deploy-time cohorts)
+        eligible = {
+            **dict.fromkeys(patient_to_slides),
             **patient_to_ground_truth,
         }
 
-    patients = {
-        patient_id: PatientData(
-            ground_truth=ground_truth, feature_files=existing_features_for_patient
-        )
-        for patient_id, ground_truth in patient_to_ground_truth.items()
-        if (slides := patient_to_slides.get(patient_id)) is not None
-        and (
-            existing_features_for_patient := {
-                feature_path for feature_path in slides if feature_path.exists()
-            }
-        )
-    }
+    patients: dict[PatientId, PatientData] = {}
+    for patient_id, ground_truth in eligible.items():
+        on_disk = {
+            path
+            for path in patient_to_slides.get(patient_id, ())
+            if path.exists()
+        }
+        if on_disk:
+            patients[patient_id] = PatientData(
+                ground_truth=ground_truth, feature_files=on_disk
+            )
 
     _logger.info(
-        f"Total patients in clinical table: {len(patient_to_ground_truth)}\n"
+        f"Total patients in clinical table: {len(eligible)}\n"
         f"Patients appearing in slide table: {len(patient_to_slides)}\n"
         f"Final usable patients (complete data): {len(patients)}\n"
     )
     return patients
+
+
+def _clini_ground_truths(
+    *,
+    task: Task | None,
+    clini_table: Path,
+    patient_label: PandasLabel,
+    ground_truth_label: PandasLabel | Sequence[PandasLabel] | None,
+    time_label: PandasLabel | None,
+    status_label: PandasLabel | None,
+) -> Mapping[PatientId, Any]:
+    """Validate the task/label combination and parse the clini table.
+
+    One shared gate for every feature level: survival needs both
+    ``time_label`` and ``status_label``; everything else needs
+    ``ground_truth_label``; multi-target labels are classification-only.
+    """
+    if task == "survival":
+        if time_label is None or status_label is None:
+            raise ValueError(
+                "Both time_label and status_label are required for survival "
+                "modeling"
+            )
+        return patient_to_survival_from_clini_table_(
+            clini_table_path=clini_table,
+            patient_label=patient_label,
+            time_label=time_label,
+            status_label=status_label,
+        )
+
+    if ground_truth_label is None:
+        raise ValueError(
+            "Ground truth label is required for classification or regression "
+            "modeling"
+        )
+    multi_target = not isinstance(ground_truth_label, str)
+    if multi_target and task != "classification":
+        raise ValueError(
+            "Multi-target ground_truth_label is only supported for "
+            "classification tasks"
+        )
+    return patient_to_ground_truth_from_clini_table_(
+        clini_table_path=clini_table,
+        patient_label=patient_label,
+        ground_truth_label=ground_truth_label,
+    )
 
 
 def load_patient_level_data(
@@ -308,132 +360,89 @@ def load_patient_level_data(
     status_label: PandasLabel | None = None,
     feature_ext: str = ".h5",
 ) -> dict[PatientId, PatientData]:
-    """Patient-level features: match clini-table patients to {pid}.h5 files
-    (reference data.py:460-529)."""
-    if task is not None and task != "classification":
-        if isinstance(ground_truth_label, Sequence) and not isinstance(
-            ground_truth_label, str
-        ):
-            raise ValueError(
-                "Multi-target ground_truth_label is only supported for classification tasks"
-            )
+    """Patient-level features carry no slide table: each clini-table patient
+    maps directly to ``<feature_dir>/<patient_id>.h5`` (behavior of
+    reference data.py:460-529)."""
+    ground_truths = _clini_ground_truths(
+        task=task,
+        clini_table=clini_table,
+        patient_label=patient_label,
+        ground_truth_label=ground_truth_label,
+        time_label=time_label,
+        status_label=status_label,
+    )
 
-    if task == "survival" and time_label is not None and status_label is not None:
-        patient_to_ground_truth: Mapping[PatientId, Any] = (
-            patient_to_survival_from_clini_table_(
-                clini_table_path=clini_table,
-                patient_label=patient_label,
-                time_label=time_label,
-                status_label=status_label,
-            )
-        )
-    elif task in ["classification", "regression"] and ground_truth_label is not None:
-        patient_to_ground_truth = patient_to_ground_truth_from_clini_table_(
-            clini_table_path=clini_table,
-            patient_label=patient_label,
-            ground_truth_label=ground_truth_label,
-        )
-    else:
-        raise ValueError(
-            "You must provide either `ground_truth_label` for classification/"
-            "regression or (`time_label`, `status_label`) for survival when "
-            "using tile-level or slide-level features."
-        )
-
-    patient_to_data: dict[PatientId, PatientData] = {}
-    missing_features = []
-    for pid, gt in patient_to_ground_truth.items():
-        feature_file = feature_dir / f"{pid}{feature_ext}"
-        if feature_file.exists():
-            patient_to_data[pid] = PatientData(
-                ground_truth=gt, feature_files=[FeaturePath(feature_file)]
-            )
-        else:
-            missing_features.append(pid)
-
-    if missing_features:
+    located = {
+        pid: feature_dir / f"{pid}{feature_ext}" for pid in ground_truths
+    }
+    if skipped := [pid for pid, path in located.items() if not path.exists()]:
         _logger.warning(
-            f"Some patients have no feature file in {feature_dir}: {missing_features}"
+            f"Some patients have no feature file in {feature_dir}: {skipped}"
         )
-    return patient_to_data
+    return {
+        pid: PatientData(
+            ground_truth=ground_truths[pid],
+            feature_files=[FeaturePath(path)],
+        )
+        for pid, path in located.items()
+        if path.exists()
+    }
 
 
 def load_patient_data_(
     *,
-    feature_dir: Path,
     clini_table: Path,
     slide_table: Path | None,
+    feature_dir: Path,
+    patient_label: PandasLabel,
+    filename_label: PandasLabel,
     task: Task,
     ground_truth_label: PandasLabel | Sequence[PandasLabel] | None,
     time_label: PandasLabel | None,
     status_label: PandasLabel | None,
-    patient_label: PandasLabel,
-    filename_label: PandasLabel,
     drop_patients_with_missing_ground_truth: bool = True,
 ) -> tuple[Mapping[PatientId, PatientData], str]:
-    """Unified patient-data loading (reference data.py:1204-1294)."""
+    """Unified cohort loading: detect the feature level from the h5 attrs,
+    then assemble {patient: (ground truth, feature files)} for it (behavior
+    of reference data.py:1204-1294)."""
     feature_type = detect_feature_type(feature_dir)
 
-    if feature_type in ("tile", "slide"):
-        if slide_table is None:
-            raise ValueError("A slide table is required for tile/slide-level features")
-
-        if task == "survival":
-            if time_label is None or status_label is None:
-                raise ValueError(
-                    "Both time_label and status_label are required for survival modeling"
-                )
-            patient_to_ground_truth: Mapping[PatientId, Any] = (
-                patient_to_survival_from_clini_table_(
-                    clini_table_path=clini_table,
-                    time_label=time_label,
-                    status_label=status_label,
-                    patient_label=patient_label,
-                )
-            )
-        else:
-            if ground_truth_label is None:
-                raise ValueError(
-                    "Ground truth label is required for classification or regression modeling"
-                )
-            if (
-                task != "classification"
-                and isinstance(ground_truth_label, Sequence)
-                and not isinstance(ground_truth_label, str)
-            ):
-                raise ValueError(
-                    "Multi-target ground_truth_label is only supported for classification tasks"
-                )
-            patient_to_ground_truth = patient_to_ground_truth_from_clini_table_(
-                clini_table_path=clini_table,
-                ground_truth_label=ground_truth_label,
+    if feature_type == "patient":
+        return (
+            load_patient_level_data(
+                task=task,
+                clini_table=clini_table,
+                feature_dir=feature_dir,
                 patient_label=patient_label,
-            )
+                ground_truth_label=ground_truth_label,
+                time_label=time_label,
+                status_label=status_label,
+            ),
+            feature_type,
+        )
 
-        slide_to_patient = slide_to_patient_from_slide_table_(
-            slide_table_path=slide_table,
-            feature_dir=feature_dir,
-            patient_label=patient_label,
-            filename_label=filename_label,
-        )
-        patient_to_data = filter_complete_patient_data_(
-            patient_to_ground_truth=patient_to_ground_truth,
-            slide_to_patient=slide_to_patient,
-            drop_patients_with_missing_ground_truth=drop_patients_with_missing_ground_truth,
-        )
-    elif feature_type == "patient":
-        patient_to_data = load_patient_level_data(
+    if feature_type not in ("tile", "slide"):
+        raise RuntimeError(f"Unknown feature type: {feature_type}")
+    if slide_table is None:
+        raise ValueError("A slide table is required for tile/slide-level features")
+
+    patient_to_data = filter_complete_patient_data_(
+        patient_to_ground_truth=_clini_ground_truths(
             task=task,
             clini_table=clini_table,
-            feature_dir=feature_dir,
             patient_label=patient_label,
             ground_truth_label=ground_truth_label,
             time_label=time_label,
             status_label=status_label,
-        )
-    else:
-        raise RuntimeError(f"Unknown feature type: {feature_type}")
-
+        ),
+        slide_to_patient=slide_to_patient_from_slide_table_(
+            slide_table_path=slide_table,
+            feature_dir=feature_dir,
+            patient_label=patient_label,
+            filename_label=filename_label,
+        ),
+        drop_patients_with_missing_ground_truth=drop_patients_with_missing_ground_truth,
+    )
     return patient_to_data, feature_type
 
 
@@ -442,29 +451,28 @@ def log_patient_class_summary(
     patient_to_data: Mapping[PatientId, PatientData],
     categories: Sequence[Category] | None,
 ) -> None:
-    """Class-distribution logging (reference data.py:1297-1339)."""
+    """Log the cohort's class distribution, one line per target (behavior
+    of reference data.py:1297-1339)."""
+    from collections import Counter
+
     ground_truths = [
-        p.ground_truth for p in patient_to_data.values() if p.ground_truth is not None
+        gt
+        for p in patient_to_data.values()
+        if (gt := p.ground_truth) is not None
     ]
     if not ground_truths:
         _logger.warning("No ground truths available for summary.")
         return
 
     if isinstance(ground_truths[0], dict):
-        per_target: dict[str, list] = {}
-        for gt in ground_truths:
-            for key, value in gt.items():
-                per_target.setdefault(key, []).append(value)
-        for target_name, values in per_target.items():
-            counts: dict = {}
-            for v in values:
-                counts[v] = counts.get(v, 0) + 1
-            _logger.info(f"[Multi-target] Target '{target_name}' distribution: {counts}")
+        names = sorted({name for gt in ground_truths for name in gt})
+        for name in names:
+            tally = Counter(gt.get(name) for gt in ground_truths)
+            _logger.info(
+                f"[Multi-target] Target '{name}' distribution: {dict(tally)}"
+            )
     else:
-        counts = {}
-        for gt in ground_truths:
-            counts[gt] = counts.get(gt, 0) + 1
-        _logger.info(f"Class distribution: {counts}")
+        _logger.info(f"Class distribution: {dict(Counter(ground_truths))}")
 
 
 # ---------------------------------------------------------------------------
@@ -488,77 +496,69 @@ def _parse_targets(
     gts = [p.ground_truth for p in patient_data]
 
     if task == "classification":
-        if any(isinstance(gt, dict) for gt in gts if gt is not None):
-            first_dict = next(gt for gt in gts if isinstance(gt, dict))
-            target_names = list(first_dict.keys())
-
-            categories_out: dict[str, list[str]] = {t: [] for t in target_names}
-            for gt in gts:
-                if not isinstance(gt, dict):
-                    continue
-                for t in target_names:
-                    v = gt.get(t)
-                    if v is not None:
-                        categories_out[t].append(v)
-            categories_out = {t: sorted(set(vals)) for t, vals in categories_out.items()}
-
-            encoded: list[dict[str, np.ndarray]] = []
-            for gt in gts:
-                patient_encoded: dict[str, np.ndarray] = {}
-                for t in target_names:
-                    cats = categories_out[t]
-                    if not isinstance(gt, dict) or gt.get(t) is None:
-                        one_hot = np.zeros(len(cats), dtype=np.float32)
-                    else:
-                        one_hot = np.array(
-                            [gt[t] == c for c in cats], dtype=np.float32
-                        )
-                    patient_encoded[t] = one_hot
-                encoded.append(patient_encoded)
-            return encoded, categories_out
-
+        if any(isinstance(gt, dict) for gt in gts):
+            return _encode_multi_target(gts)
         unique = {gt for gt in gts if gt is not None}
-        if len(unique) >= 2 or categories is not None:
-            raw = np.array([p.ground_truth for p in patient_data])
-            categories = categories or list(sorted(unique))
-            labels = (raw.reshape(-1, 1) == np.array(categories)).astype(np.float32)
-            return labels, categories
+        if len(unique) < 2 and categories is None:
+            raise ValueError(
+                "Only one unique class found in classification task. "
+                "This is usually a data or configuration error."
+            )
+        cats = list(categories) if categories is not None else sorted(unique)
+        raw = np.array(gts)
+        return (raw.reshape(-1, 1) == np.array(cats)).astype(np.float32), cats
 
-        raise ValueError(
-            "Only one unique class found in classification task. "
-            "This is usually a data or configuration error."
-        )
+    if task == "regression":
+        scalars = [np.nan if gt is None else float(gt) for gt in gts]
+        return np.asarray(scalars, np.float32).reshape(-1, 1), []
 
-    elif task == "regression":
-        y = np.array(
-            [np.nan if gt is None else float(gt) for gt in gts], dtype=np.float32
-        ).reshape(-1, 1)
-        return y, []
-
-    elif task == "survival":
-        times, events = [], []
+    if task == "survival":
+        pairs: list[tuple[float, float]] = []
         for gt in gts:
             if gt is None:
-                times.append(np.nan)
-                events.append(np.nan)
+                pairs.append((np.nan, np.nan))
                 continue
-            if isinstance(gt, (tuple, list)) and len(gt) == 2:
-                t_val, e_val = gt
-                times.append(
-                    np.nan
-                    if t_val is None or str(t_val).lower() == "nan"
-                    else float(t_val)
-                )
-                events.append(float(e_val) if e_val is not None else np.nan)
-            else:
+            if not (isinstance(gt, (tuple, list)) and len(gt) == 2):
                 raise ValueError(
                     "survival ground truth must be a (time, event) tuple/list"
                 )
-        y = np.column_stack([times, events]).astype(np.float32)
-        return y, []
+            time, event = gt
+            time_missing = time is None or str(time).lower() == "nan"
+            pairs.append((
+                np.nan if time_missing else float(time),
+                np.nan if event is None else float(event),
+            ))
+        return np.asarray(pairs, np.float32), []
 
-    else:
-        raise ValueError(f"Unsupported task: {task}")
+    raise ValueError(f"Unsupported task: {task}")
+
+
+def _encode_multi_target(
+    gts: Sequence[dict | None],
+) -> tuple[list[dict[str, np.ndarray]], dict[str, list[str]]]:
+    """Multi-target classification: per-target category vocabularies from the
+    observed values, missing targets encoded as all-zero one-hots (the loss
+    masks them out downstream)."""
+    target_names = next(list(gt) for gt in gts if isinstance(gt, dict))
+    vocab = {
+        name: sorted({
+            gt[name]
+            for gt in gts
+            if isinstance(gt, dict) and gt.get(name) is not None
+        })
+        for name in target_names
+    }
+
+    def one_hot(gt, name: str) -> np.ndarray:
+        value = gt.get(name) if isinstance(gt, dict) else None
+        return np.asarray(
+            [value == c for c in vocab[name]], dtype=np.float32
+        )
+
+    encoded = [
+        {name: one_hot(gt, name) for name in target_names} for gt in gts
+    ]
+    return encoded, vocab
 
 
 # ---------------------------------------------------------------------------
@@ -579,21 +579,28 @@ class _H5HandleCache:
     A hit moves the key to the back; eviction closes the *least recently
     used* handle (the front).  Plain-dict ``popitem()`` would evict the
     newest entry, degenerating the cache once it is full.
+
+    Handles are kept per thread (``threading.local``): loader workers each
+    get their own LRU, so no thread can close a handle another thread is
+    mid-read on, and no lock sits on the hot path.
     """
 
     def __init__(self, capacity: int = 128) -> None:
         self._capacity = capacity
-        self._handles: dict = {}
+        self._local = threading.local()
 
     def get(self, bag_file: FeaturePath | _BinaryIOLike) -> h5py.File:
+        handles: dict | None = getattr(self._local, "handles", None)
+        if handles is None:
+            handles = self._local.handles = {}
         key = bag_file if isinstance(bag_file, Path) else id(bag_file)
-        handle = self._handles.pop(key, None)
+        handle = handles.pop(key, None)
         if handle is None:
-            if len(self._handles) >= self._capacity:
-                oldest = next(iter(self._handles))
-                self._handles.pop(oldest).close()
+            if len(handles) >= self._capacity:
+                oldest = next(iter(handles))
+                handles.pop(oldest).close()
             handle = _open_h5(bag_file)
-        self._handles[key] = handle  # (re)insert at the back = most recent
+        handles[key] = handle  # (re)insert at the back = most recent
         return handle
 
 
@@ -643,8 +650,8 @@ class BagDataset:
 
     _: KW_ONLY
     bags: Sequence[Iterable[FeaturePath | _BinaryIOLike]]
+    ground_truths: Union[np.ndarray, list[dict[str, np.ndarray]]]
     bag_size: BagSize | None = None
-    ground_truths: Union[np.ndarray, list[dict[str, np.ndarray]]] = None  # type: ignore[assignment]
     transform: Callable[[np.ndarray], np.ndarray] | None = None
     deterministic: bool = False
     _h5_handle_cache: _H5HandleCache = field(
@@ -671,8 +678,11 @@ class BagDataset:
         return self._h5_handle_cache.get(bag_file)
 
     def __getitem__(
-        self, index: int
+        self, index: int, rng: np.random.Generator | None = None
     ) -> tuple[np.ndarray, np.ndarray, BagSize, _EncodedTarget]:
+        """``rng`` overrides the dataset RNG for the bag draw — the loader
+        passes a per-item generator so parallel workers sample
+        deterministically regardless of fetch order."""
         feats_list, coords_list = [], []
         for bag_file in self.bags[index]:
             h5 = self._handle(bag_file)
@@ -695,7 +705,7 @@ class BagDataset:
                 coords_um,
                 self.bag_size,
                 deterministic=self.deterministic,
-                rng=self.rng,
+                rng=rng if rng is not None else self.rng,
             )
             return bag, coords, size, self.ground_truths[index]
         else:
@@ -764,8 +774,30 @@ def _stack_targets(targets: list[_EncodedTarget]) -> _EncodedTarget:
     return np.stack(fixed)
 
 
+def _sliding_window_map(pool, fn, n: int, depth: int) -> Iterator:
+    """``map(fn, range(n))`` over a thread pool with at most ``depth`` items
+    in flight — ordered results, bounded memory (a full ``pool.map`` would
+    materialize every bag of the epoch)."""
+    from collections import deque
+
+    pending: deque = deque(
+        pool.submit(fn, j) for j in range(min(depth, n))
+    )
+    for j in range(n):
+        result = pending.popleft().result()
+        if (ahead := j + depth) < n:
+            pending.append(pool.submit(fn, ahead))
+        yield result
+
+
 class BatchIterator:
     """Yields fixed-shape numpy batches from a dataset.
+
+    ``num_workers > 1`` fetches items with a thread pool (bounded
+    look-ahead): h5 reads and numpy decompression release the GIL, so bag
+    loading overlaps both itself and the jitted train step.  Bag sampling
+    stays deterministic for any worker count because every item's RNG is
+    seeded from the epoch RNG before fetching starts.
 
     This replaces torch's DataLoader.  Tile-level batches are
     ``(bags [B,T,F], coords [B,T,2], bag_sizes [B], targets)``; slide/patient
@@ -781,12 +813,14 @@ class BatchIterator:
         shuffle: bool,
         drop_last: bool = False,
         rng: np.random.Generator | None = None,
+        num_workers: int = 1,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = rng
+        self.num_workers = max(1, num_workers)
 
     @property
     def rng(self) -> np.random.Generator:
@@ -804,20 +838,48 @@ class BatchIterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             order = self.rng.permutation(order)
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start : start + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
+
+        if isinstance(self.dataset, BagDataset):
+            # per-item bag-draw seeds come from the epoch RNG *up front*, so
+            # the sampled bags are identical for any num_workers
+            seeds = self.rng.integers(0, 2**63, size=len(order))
+            dataset = self.dataset
+
+            def fetch(j: int):
+                return dataset.__getitem__(
+                    int(order[j]), rng=np.random.default_rng(seeds[j])
+                )
+        else:
+
+            def fetch(j: int):
+                return self.dataset[int(order[j])]
+
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                yield from self._batched(
+                    _sliding_window_map(pool, fetch, len(order), self.num_workers * 4),
+                    len(order),
+                )
+        else:
+            yield from self._batched(map(fetch, range(len(order))), len(order))
+
+    def _batched(self, items: Iterator, n_items: int) -> Iterator:
+        for start in range(0, n_items, self.batch_size):
+            count = min(self.batch_size, n_items - start)
+            if self.drop_last and count < self.batch_size:
                 return
-            items = [self.dataset[int(i)] for i in idxs]
+            batch = [next(items) for _ in range(count)]
             if isinstance(self.dataset, BagDataset):
-                bags = np.stack([it[0] for it in items])
-                coords = np.stack([it[1] for it in items])
-                bag_sizes = np.array([it[2] for it in items], dtype=np.int32)
-                targets = _stack_targets([it[3] for it in items])
+                bags = np.stack([it[0] for it in batch])
+                coords = np.stack([it[1] for it in batch])
+                bag_sizes = np.array([it[2] for it in batch], dtype=np.int32)
+                targets = _stack_targets([it[3] for it in batch])
                 yield bags, coords, bag_sizes, targets
             else:
-                feats = np.stack([it[0] for it in items])
-                targets = _stack_targets([it[1] for it in items])
+                feats = np.stack([it[0] for it in batch])
+                targets = _stack_targets([it[1] for it in batch])
                 yield feats, targets
 
 
@@ -875,55 +937,28 @@ def create_dataset(
         )
     elif feature_type in {"slide", "patient"}:
         feature_files = [next(iter(p.feature_files)) for p in patient_data]
+        gts = [p.ground_truth for p in patient_data]
+        if task != "classification" and any(isinstance(gt, dict) for gt in gts):
+            raise ValueError(
+                f"Multi-target {task} is not supported; provide a single "
+                "target per patient"
+            )
 
         if task == "classification":
-            raw = np.array([p.ground_truth for p in patient_data])
+            raw = np.array(gts)
             categories = categories or list(np.unique(raw))
             labels = (raw.reshape(-1, 1) == np.array(list(categories))).astype(
                 np.float32
             )
         elif task == "regression":
-            values: list[float] = []
-            for gt in (p.ground_truth for p in patient_data):
-                if gt is None:
-                    continue
-                if isinstance(gt, dict):
-                    raise ValueError(
-                        "Multi-target regression is not supported; provide a "
-                        "single numeric target per patient"
-                    )
-                values.append(float(gt))
-            labels = np.array(values, dtype=np.float32).reshape(-1, 1)
+            # NaN keeps row alignment with feature_files for missing targets
+            labels = np.asarray(
+                [np.nan if gt is None else float(gt) for gt in gts], np.float32
+            ).reshape(-1, 1)
         elif task == "survival":
-            times, events = [], []
-            for p in patient_data:
-                if isinstance(p.ground_truth, dict):
-                    raise ValueError(
-                        "Multi-target survival is not supported; provide a "
-                        "single survival time/status per patient"
-                    )
-                gt = p.ground_truth
-                if isinstance(gt, (tuple, list)) and len(gt) == 2:
-                    t, e = gt
-                elif gt is None:
-                    t, e = None, None
-                else:
-                    t, e = str(gt), "nan"
-
-                if t is None:
-                    times.append(np.nan)
-                elif isinstance(t, str):
-                    try:
-                        times.append(np.nan if t.lower() == "nan" else float(t))
-                    except Exception:
-                        times.append(np.nan)
-                else:
-                    times.append(float(t))
-                try:
-                    events.append(_parse_survival_status(e))
-                except ValueError:
-                    events.append(np.nan)
-            labels = np.column_stack([times, events]).astype(np.float32)
+            labels = np.asarray(
+                [_lenient_survival_pair(gt) for gt in gts], np.float32
+            )
         else:
             raise ValueError(f"Unsupported task: {task}")
 
@@ -931,3 +966,28 @@ def create_dataset(
         return ds, categories or []
     else:
         raise ValueError(f"Unknown feature type: {feature_type}")
+
+
+def _lenient_survival_pair(gt) -> tuple[float, float]:
+    """Coerce a stored ground truth into (time, event) floats, NaN where a
+    piece is missing or unparseable.  Deploy-time cohorts may carry bare
+    strings or no ground truth at all, so nothing raises here."""
+    if isinstance(gt, (tuple, list)) and len(gt) == 2:
+        time_raw, event_raw = gt
+    elif gt is None:
+        time_raw, event_raw = None, None
+    else:  # a bare value is a time with unknown status
+        time_raw, event_raw = str(gt), None
+    try:
+        time = float(time_raw) if time_raw is not None else np.nan
+    except (TypeError, ValueError):
+        time = np.nan
+    try:
+        event = (
+            float(_parse_survival_status(event_raw))
+            if event_raw is not None
+            else np.nan
+        )
+    except ValueError:
+        event = np.nan
+    return time, event

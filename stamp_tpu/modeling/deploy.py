@@ -25,12 +25,11 @@ from stamp_tpu.modeling.checkpoint import load_checkpoint
 from stamp_tpu.modeling.data import (
     BagDataset,
     BatchIterator,
+    _clini_ground_truths,
     create_dataset,
     detect_feature_type,
     filter_complete_patient_data_,
     load_patient_level_data,
-    patient_to_ground_truth_from_clini_table_,
-    patient_to_survival_from_clini_table_,
     slide_to_patient_from_slide_table_,
 )
 from stamp_tpu.modeling.tasks import TaskModel, instantiate_from_hparams
@@ -197,168 +196,68 @@ def _np_softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def deploy_categorical_model_(
+def _agreed(models: Sequence[tuple[TaskModel, Any]], what: str, getter):
+    """Every ensemble member must agree on ``what``; returns the shared
+    value (the reference's per-attribute consistency checks, collapsed into
+    one combinator)."""
+    values = [getter(model) for model, _variables in models]
+    if len({repr(v) for v in values}) != 1:
+        raise RuntimeError(f"{what} differ between ensemble models: {values}")
+    return values[0]
+
+
+def _resolve_label(
+    requested, trained, description: str
+):
+    """Deployment labels default to what the model was trained with; an
+    explicit different value is honored but loudly warned about."""
+    if requested and requested != trained:
+        _logger.warning(
+            f"deployment {description} differs from training: "
+            f"{requested} vs {trained}"
+        )
+    return requested or trained
+
+
+# which feature levels a model trained on level X can consume
+_DEPLOYABLE_ON = {
+    "tile": {"tile"},
+    "slide": {"slide", "patient"},
+    "patient": {"slide", "patient"},
+}
+
+
+def _deployment_cohort(
     *,
-    output_dir: Path,
-    checkpoint_paths: Sequence[Path],
+    feature_type: str,
+    task: str,
     clini_table: Path | None,
     slide_table: Path | None,
     feature_dir: Path,
-    ground_truth_label: PandasLabel | Sequence[PandasLabel] | None,
-    time_label: PandasLabel | None,
-    status_label: PandasLabel | None,
     patient_label: PandasLabel,
     filename_label: PandasLabel,
-    num_workers: int,
-    accelerator: str | None = None,
-    drop_patients_with_missing_ground_truth: bool = True,
-) -> None:
-    """Reference deploy.py:61-387."""
-    del num_workers
-    feature_type = detect_feature_type(feature_dir)
-    _logger.info(f"Detected feature type: {feature_type}")
+    ground_truth_label,
+    time_label,
+    status_label,
+    drop_patients_with_missing_ground_truth: bool,
+) -> tuple[Mapping[PatientId, Any], Mapping[PatientId, Any]]:
+    """Assemble the deployment cohort → (patient_to_data, ground truths).
 
-    models = [load_model_from_ckpt(p) for p in checkpoint_paths]
-
-    tasks = {model.hparams["task"] for model, _v in models}
-    if len(tasks) != 1:
-        raise RuntimeError(f"Mixed tasks in ensemble: {tasks}")
-    task = tasks.pop()
-
-    model_supported = models[0][0].hparams["supported_features"]
-    if model_supported == "tile":
-        if feature_type != "tile":
-            raise RuntimeError(
-                "Model trained on tile-level features cannot be deployed on "
-                f"{feature_type}-level features."
-            )
-    elif model_supported in ("slide", "patient"):
-        if feature_type not in ("slide", "patient"):
-            raise RuntimeError(
-                f"Model trained on {model_supported}-level features cannot be "
-                "deployed on tile-level features."
-            )
-    else:
-        raise RuntimeError(f"Unknown supported_features value: {model_supported}")
-
-    if task == "survival":
-        time_labels = {getattr(m, "time_label", None) for m, _v in models}
-        status_labels = {getattr(m, "status_label", None) for m, _v in models}
-        if len(time_labels) != 1 or len(status_labels) != 1:
-            raise RuntimeError(
-                "Survival label mismatch between models: "
-                f"time_labels={time_labels}, status_labels={status_labels}"
-            )
-        model_time_label = next(iter(time_labels))
-        model_status_label = next(iter(status_labels))
-        if (time_label and time_label != model_time_label) or (
-            status_label and status_label != model_status_label
-        ):
-            _logger.warning(
-                "deployment time/status labels differ from training: "
-                f"{(time_label, status_label)} vs "
-                f"{(model_time_label, model_status_label)}"
-            )
-        time_label = time_label or model_time_label
-        status_label = status_label or model_status_label
-    else:
-        ground_truth_labels = {
-            tuple(m.ground_truth_label)
-            if isinstance(m.ground_truth_label, list)
-            else (m.ground_truth_label,)
-            for m, _v in models
-        }
-        if len(ground_truth_labels) != 1:
-            raise RuntimeError(
-                f"ground truth labels differ between models: {ground_truth_labels}"
-            )
-        model_ground_truth_label = models[0][0].ground_truth_label
-        if (
-            ground_truth_label is not None
-            and ground_truth_label != model_ground_truth_label
-        ):
-            _logger.warning(
-                "deployment ground truth label differs from training: "
-                f"{ground_truth_label} vs {model_ground_truth_label}"
-            )
-        ground_truth_label = ground_truth_label or cast(
-            PandasLabel, model_ground_truth_label
-        )
-
-    output_dir.mkdir(exist_ok=True, parents=True)
-
-    model_categories = None
-    if task == "classification":
-        category_sets = {
-            tuple(cast(Sequence[GroundTruth], m.categories))
-            if not isinstance(m.categories, dict)
-            else tuple(sorted(m.categories))
-            for m, _v in models
-        }
-        if len(category_sets) != 1:
-            raise RuntimeError(f"Categories differ between models: {category_sets}")
-        first_cats = models[0][0].categories
-        model_categories = (
-            list(cast(Sequence[GroundTruth], first_cats))
-            if not isinstance(first_cats, dict)
-            else None
-        )
-
-    # --- data loading (reference deploy.py:186-262) ---
-    if feature_type in ("tile", "slide"):
-        if slide_table is None:
-            raise ValueError(
-                "A slide table is required for deployment of slide-level or "
-                "tile-level features."
-            )
-        slide_to_patient = slide_to_patient_from_slide_table_(
-            slide_table_path=slide_table,
-            feature_dir=feature_dir,
-            patient_label=patient_label,
-            filename_label=filename_label,
-        )
-        if clini_table is not None:
-            if task == "survival":
-                patient_to_ground_truth: Mapping[PatientId, Any] = (
-                    patient_to_survival_from_clini_table_(
-                        clini_table_path=clini_table,
-                        patient_label=patient_label,
-                        time_label=cast(str, models[0][0].time_label),
-                        status_label=cast(str, models[0][0].status_label),
-                    )
-                )
-            else:
-                if ground_truth_label is None:
-                    raise ValueError(
-                        "Ground truth label is required for deployment of "
-                        "classification/regression models."
-                    )
-                patient_to_ground_truth = patient_to_ground_truth_from_clini_table_(
-                    clini_table_path=clini_table,
-                    ground_truth_label=ground_truth_label,
-                    patient_label=patient_label,
-                )
-        else:
-            patient_to_ground_truth = {
-                patient_id: None for patient_id in set(slide_to_patient.values())
-            }
-        patient_to_data = filter_complete_patient_data_(
-            patient_to_ground_truth=patient_to_ground_truth,
-            slide_to_patient=slide_to_patient,
-            drop_patients_with_missing_ground_truth=drop_patients_with_missing_ground_truth,
-        )
-        patient_ids = list(patient_to_data.keys())
-    elif feature_type == "patient":
+    Unlike training, the clini table is optional for tile/slide features:
+    without it every patient deploys with a ground truth of None (pure
+    inference, no loss column)."""
+    if feature_type == "patient":
         if slide_table is not None:
             _logger.warning(
-                "slide_table is ignored for patient-level features during deployment."
+                "slide_table is ignored for patient-level features during "
+                "deployment."
             )
         if clini_table is None:
             raise ValueError(
                 "clini_table is required for patient-level feature deployment."
             )
         patient_to_data = load_patient_level_data(
-            task=task,
+            task=cast(Any, task),
             clini_table=clini_table,
             feature_dir=feature_dir,
             patient_label=patient_label,
@@ -366,12 +265,120 @@ def deploy_categorical_model_(
             time_label=time_label,
             status_label=status_label,
         )
-        patient_ids = list(patient_to_data.keys())
-        patient_to_ground_truth = {
-            pid: p.ground_truth for pid, p in patient_to_data.items()
-        }
+        ground_truths = {pid: p.ground_truth for pid, p in patient_to_data.items()}
+        return patient_to_data, ground_truths
+
+    if slide_table is None:
+        raise ValueError(
+            "Deploying on tile- or slide-level features requires a slide "
+            "table mapping feature files to patients."
+        )
+    slide_to_patient = slide_to_patient_from_slide_table_(
+        slide_table_path=slide_table,
+        patient_label=patient_label,
+        filename_label=filename_label,
+        feature_dir=feature_dir,
+    )
+    if clini_table is None:
+        ground_truths = dict.fromkeys(slide_to_patient.values())
     else:
-        raise RuntimeError(f"Unsupported feature type: {feature_type}")
+        ground_truths = dict(
+            _clini_ground_truths(
+                task=cast(Any, task),
+                clini_table=clini_table,
+                patient_label=patient_label,
+                ground_truth_label=ground_truth_label,
+                time_label=time_label,
+                status_label=status_label,
+            )
+        )
+    patient_to_data = filter_complete_patient_data_(
+        patient_to_ground_truth=ground_truths,
+        slide_to_patient=slide_to_patient,
+        drop_patients_with_missing_ground_truth=drop_patients_with_missing_ground_truth,
+    )
+    return patient_to_data, ground_truths
+
+
+def deploy_categorical_model_(
+    *,
+    checkpoint_paths: Sequence[Path],
+    output_dir: Path,
+    feature_dir: Path,
+    clini_table: Path | None,
+    slide_table: Path | None,
+    patient_label: PandasLabel,
+    filename_label: PandasLabel,
+    ground_truth_label: PandasLabel | Sequence[PandasLabel] | None,
+    time_label: PandasLabel | None,
+    status_label: PandasLabel | None,
+    num_workers: int,
+    accelerator: str | None = None,
+    drop_patients_with_missing_ground_truth: bool = True,
+) -> None:
+    """Deploy an ensemble of checkpoints on an external cohort (behavior of
+    reference deploy.py:61-387): per-model prediction CSVs plus an
+    ensemble-mean CSV for classification, with a CRITICAL log if any deploy
+    patient was seen during training."""
+    del num_workers
+    feature_type = detect_feature_type(feature_dir)
+    _logger.info(f"Detected feature type: {feature_type}")
+
+    models = [load_model_from_ckpt(p) for p in checkpoint_paths]
+
+    # -- the whole ensemble must describe one consistent predictor --------
+    task = _agreed(models, "Tasks", lambda m: m.hparams["task"])
+    trained_level = _agreed(
+        models, "Feature levels", lambda m: m.hparams["supported_features"]
+    )
+    if feature_type not in _DEPLOYABLE_ON.get(trained_level, set()):
+        raise RuntimeError(
+            f"Model trained on {trained_level}-level features cannot be "
+            f"deployed on {feature_type}-level features."
+        )
+
+    if task == "survival":
+        time_label = _resolve_label(
+            time_label,
+            _agreed(models, "Time labels", lambda m: getattr(m, "time_label", None)),
+            "time label",
+        )
+        status_label = _resolve_label(
+            status_label,
+            _agreed(
+                models, "Status labels", lambda m: getattr(m, "status_label", None)
+            ),
+            "status label",
+        )
+    else:
+        ground_truth_label = _resolve_label(
+            ground_truth_label,
+            _agreed(models, "Ground truth labels", lambda m: m.ground_truth_label),
+            "ground truth label",
+        )
+
+    model_categories = None
+    if task == "classification":
+        trained_cats = _agreed(models, "Categories", lambda m: m.categories)
+        if not isinstance(trained_cats, dict):  # multi-target keeps per-target vocabs
+            model_categories = list(cast(Sequence[GroundTruth], trained_cats))
+
+    output_dir.mkdir(exist_ok=True, parents=True)
+
+    patient_to_data, patient_to_ground_truth = _deployment_cohort(
+        feature_type=feature_type,
+        task=task,
+        clini_table=clini_table,
+        slide_table=slide_table,
+        feature_dir=feature_dir,
+        patient_label=patient_label,
+        filename_label=filename_label,
+        ground_truth_label=ground_truth_label,
+        time_label=time_label,
+        status_label=status_label,
+        drop_patients_with_missing_ground_truth=drop_patients_with_missing_ground_truth,
+    )
+    patient_ids = list(patient_to_data.keys())
 
     test_ds, _ = create_dataset(
         feature_type=feature_type,
@@ -390,18 +397,39 @@ def deploy_categorical_model_(
         "survival": _to_survival_prediction_df,
     }[task]
 
+    def export_csv(predictions: PredictionsType, filename: str, **extra) -> None:
+        if predictions and isinstance(next(iter(predictions.values())), dict):
+            targets = list(next(iter(predictions.values())).keys())
+            export_cats: Any = _target_vocabularies(
+                None, targets, patient_to_ground_truth
+            )
+        elif task == "classification":
+            export_cats = models[0][0].categories
+        else:
+            export_cats = []
+        df_builder(
+            categories=export_cats,
+            patient_to_ground_truth=patient_to_ground_truth,
+            predictions=predictions,
+            patient_label=patient_label,
+            ground_truth_label=ground_truth_label,
+            time_label=time_label,
+            status_label=status_label,
+            **extra,
+        ).to_csv(output_dir / filename, index=False)
+
+    deploy_set = set(patient_ids)
     all_predictions: list[PredictionsType] = []
-    categories_for_export: Any = None
-    for model_i, (model, variables) in enumerate(models):
-        patients_used_for_training: set[PatientId] = set(
-            getattr(model, "train_patients", [])
-        ) | set(getattr(model, "valid_patients", []))
-        if overlap := patients_used_for_training & set(patient_ids):
+    for index, (model, variables) in enumerate(models):
+        seen_in_training = set(getattr(model, "train_patients", ())).union(
+            getattr(model, "valid_patients", ())
+        )
+        if leaked := sorted(seen_in_training & deploy_set):
             _logger.critical(
                 "DATA LEAKAGE DETECTED: %d patient(s) in deployment set were used "
                 "during training/validation. Overlapping IDs: %s",
-                len(overlap),
-                sorted(overlap),
+                len(leaked),
+                leaked,
             )
 
         predictions = _predict(
@@ -412,59 +440,27 @@ def deploy_categorical_model_(
             accelerator=accelerator,
         )
         all_predictions.append(predictions)
-
-        if predictions and isinstance(next(iter(predictions.values())), dict):
-            categories_accum: dict[str, set[GroundTruth]] = {}
-            for pd_item in patient_to_data.values():
-                gt = pd_item.ground_truth
-                if isinstance(gt, dict):
-                    for k, v in gt.items():
-                        if v is not None:
-                            categories_accum.setdefault(k, set()).add(v)
-            categories_for_export = {k: sorted(v) for k, v in categories_accum.items()}
-        else:
-            if task == "classification":
-                categories_for_export = models[0][0].categories
-            else:
-                categories_for_export = []
-
-        cut_off = model.hparams.get("train_pred_median", None)
-
-        name = (
-            f"patient-preds-{model_i}.csv" if len(models) > 1 else "patient-preds.csv"
+        export_csv(
+            predictions,
+            f"patient-preds-{index}.csv" if len(models) > 1 else "patient-preds.csv",
+            cut_off=model.hparams.get("train_pred_median", None),
         )
-        df_builder(
-            categories=categories_for_export,
-            patient_to_ground_truth=patient_to_ground_truth,
-            predictions=predictions,
-            patient_label=patient_label,
-            ground_truth_label=ground_truth_label,
-            cut_off=cut_off,
-            time_label=time_label,
-            status_label=status_label,
-        ).to_csv(output_dir / name, index=False)
 
     if task == "classification":
-        mean_preds: dict[PatientId, Any] = {}
-        for pid in patient_ids:
-            model_preds = [preds[pid] for preds in all_predictions]
-            firstp = model_preds[0]
-            if isinstance(firstp, dict):
-                mean_preds[pid] = {
-                    t: np.stack([p[t] for p in model_preds]).mean(axis=0)
-                    for t in firstp.keys()
+        # ensemble mean over models, per patient (and per target if multi)
+        def mean_of(per_model: list) -> Any:
+            if isinstance(per_model[0], dict):
+                return {
+                    t: np.mean([p[t] for p in per_model], axis=0)
+                    for t in per_model[0]
                 }
-            else:
-                mean_preds[pid] = np.stack(model_preds).mean(axis=0)
+            return np.mean(per_model, axis=0)
 
-        assert categories_for_export is not None
-        df_builder(
-            categories=categories_for_export,
-            patient_to_ground_truth=patient_to_ground_truth,
-            predictions=mean_preds,
-            patient_label=patient_label,
-            ground_truth_label=ground_truth_label,
-        ).to_csv(output_dir / "patient-preds_95_confidence_interval.csv", index=False)
+        ensembled = {
+            pid: mean_of([preds[pid] for preds in all_predictions])
+            for pid in patient_ids
+        }
+        export_csv(ensembled, "patient-preds_95_confidence_interval.csv")
 
 
 # ---------------------------------------------------------------------------
@@ -485,6 +481,77 @@ def _np_logsumexp_1d(x: np.ndarray) -> float:
     return m + np.log(np.exp(x - m).sum())
 
 
+def _target_vocabularies(
+    categories, targets: Sequence[str], patient_to_ground_truth
+) -> dict[str, list]:
+    """Per-target category lists: from the models when available, otherwise
+    inferred from the observed deployment ground truths."""
+    if isinstance(categories, dict):
+        vocab = {t: list(v) for t, v in categories.items()}
+    elif isinstance(categories, Sequence) and len(categories) >= len(targets):
+        vocab = {
+            t: list(cats)
+            for t, cats in zip(targets, categories)
+            if isinstance(cats, (list, tuple))
+        }
+    else:
+        vocab = {}
+
+    if unknown := [t for t in targets if t not in vocab]:
+        dict_gts = [
+            gt for gt in patient_to_ground_truth.values() if isinstance(gt, dict)
+        ]
+        vocab.update({
+            t: sorted({gt[t] for gt in dict_gts if gt.get(t) is not None})
+            for t in unknown
+        })
+    return vocab
+
+
+def _multitarget_prediction_df(
+    *,
+    categories,
+    patient_to_ground_truth,
+    predictions,
+    patient_label: PandasLabel,
+) -> pd.DataFrame:
+    """Column layout: patient, one ground-truth column per target, then per
+    target ``pred_{t}`` + one probability column per category, then the
+    summed cross-entropy ``loss`` over targets with a known ground truth."""
+    targets = list(next(iter(predictions.values())).keys())
+    vocab = _target_vocabularies(categories, targets, patient_to_ground_truth)
+
+    rows = []
+    for pid, pred in predictions.items():
+        raw_gt = patient_to_ground_truth.get(pid)
+        gt: dict = raw_gt if isinstance(raw_gt, dict) else {}
+        gt_columns = {
+            t: (gt.get(t) if isinstance(raw_gt, dict) else raw_gt) for t in targets
+        }
+        row: dict = {patient_label: pid, **gt_columns}
+
+        loss: float | None = None
+        for t in targets:
+            probs = np.asarray(pred[t])
+            cats = vocab.get(t, [])
+            if probs.size == 1:
+                row[f"pred_{t}"] = float(probs.item())
+            else:
+                winner = int(probs.argmax())
+                row[f"pred_{t}"] = cats[winner] if winner < len(cats) else winner
+            row.update({
+                f"{t}_{c}": float(probs[j]) if j < probs.shape[0] else None
+                for j, c in enumerate(cats)
+            })
+            if (value := gt.get(t)) is not None and value in cats:
+                loss = (loss or 0.0) + _cross_entropy_row(
+                    probs, cats.index(value)
+                )
+        row["loss"] = loss
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def _to_prediction_df(
     *,
     categories,
@@ -494,89 +561,31 @@ def _to_prediction_df(
     ground_truth_label,
     **kwargs,
 ) -> pd.DataFrame:
-    first_pred = next(iter(predictions.values()))
+    """Classification CSV contract: patient, ground truth, argmax ``pred``,
+    one ``{gt_label}_{category}`` probability column per category, and the
+    per-patient cross-entropy ``loss`` (rows sorted by it)."""
+    if isinstance(next(iter(predictions.values())), dict):
+        return _multitarget_prediction_df(
+            categories=categories,
+            patient_to_ground_truth=patient_to_ground_truth,
+            predictions=predictions,
+            patient_label=patient_label,
+        )
 
-    if isinstance(first_pred, dict):
-        target_labels = list(cast(dict, first_pred).keys())
-        if isinstance(categories, dict):
-            cats_map = dict(categories)
-        else:
-            cats_map = {}
-            if isinstance(categories, Sequence):
-                try:
-                    for i, t in enumerate(target_labels):
-                        cats_map[t] = list(categories[i])
-                except Exception:
-                    cats_map = {}
+    cats = list(cast(Sequence[GroundTruth], categories))
+    pids = list(predictions)
+    probs = np.stack([np.asarray(predictions[pid]) for pid in pids])
+    gts = [patient_to_ground_truth.get(pid) for pid in pids]
 
-        if any(t not in cats_map for t in target_labels):
-            inferred: dict[str, set] = {t: set() for t in target_labels}
-            for pid, gt in patient_to_ground_truth.items():
-                if isinstance(gt, dict):
-                    for t in target_labels:
-                        val = gt.get(t)
-                        if val is not None:
-                            inferred[t].add(val)
-            for t in target_labels:
-                if t not in cats_map:
-                    cats_map[t] = sorted(inferred.get(t, []))
-
-        rows = []
-        for pid, pred_dict in predictions.items():
-            row: dict = {patient_label: pid}
-            gt_entry = patient_to_ground_truth.get(pid)
-            for t in target_labels:
-                row[t] = gt_entry.get(t) if isinstance(gt_entry, dict) else gt_entry
-
-            total_loss = 0.0
-            has_loss = False
-            for t in target_labels:
-                probs = np.asarray(pred_dict[t])
-                cats = cats_map.get(t, [])
-                if probs.size == 1:
-                    row[f"pred_{t}"] = float(probs.item())
-                else:
-                    pred_idx = int(probs.argmax())
-                    row[f"pred_{t}"] = cats[pred_idx] if pred_idx < len(cats) else pred_idx
-                for i_cat, cat in enumerate(cats):
-                    row[f"{t}_{cat}"] = (
-                        float(probs[i_cat]) if i_cat < probs.shape[0] else None
-                    )
-                if isinstance(gt_entry, dict) and (gt := gt_entry.get(t)) is not None:
-                    try:
-                        target_index = int(np.where(np.array(cats) == gt)[0][0])
-                        total_loss += _cross_entropy_row(probs, target_index)
-                        has_loss = True
-                    except Exception:
-                        pass
-            row["loss"] = total_loss if has_loss else None
-            rows.append(row)
-        return pd.DataFrame(rows)
-
-    rows = []
-    for pid, prediction in predictions.items():
-        gt = patient_to_ground_truth.get(pid)
-        cats = cast(Sequence[GroundTruth], categories)
-        prediction = np.asarray(prediction)
-        pred_idx = int(prediction.argmax())
-        row = {
-            patient_label: pid,
-            ground_truth_label: gt,
-            "pred": cats[pred_idx],
-            **{
-                f"{ground_truth_label}_{category}": float(prediction[i_cat])
-                for i_cat, category in enumerate(cats)
-            },
-            "loss": (
-                _cross_entropy_row(
-                    prediction, int(np.where(np.array(cats) == gt)[0][0])
-                )
-                if gt is not None
-                else None
-            ),
-        }
-        rows.append(row)
-    return pd.DataFrame(rows).sort_values(by="loss")
+    table = pd.DataFrame({patient_label: pids, ground_truth_label: gts})
+    table["pred"] = [cats[i] for i in probs.argmax(axis=1)]
+    for j, category in enumerate(cats):
+        table[f"{ground_truth_label}_{category}"] = probs[:, j].astype(float)
+    table["loss"] = [
+        _cross_entropy_row(probs[i], cats.index(gt)) if gt is not None else None
+        for i, gt in enumerate(gts)
+    ]
+    return table.sort_values(by="loss")
 
 
 def _to_regression_prediction_df(
@@ -587,33 +596,21 @@ def _to_regression_prediction_df(
     ground_truth_label: PandasLabel,
     **kwargs,
 ) -> pd.DataFrame:
-    return pd.DataFrame(
-        [
-            {
-                patient_label: patient_id,
-                ground_truth_label: patient_to_ground_truth.get(patient_id),
-                "pred": float(np.asarray(prediction).flatten()[0])
-                if np.asarray(prediction).size == 1
-                else np.asarray(prediction).tolist(),
-                "loss": (
-                    float(
-                        np.abs(
-                            np.asarray(prediction).flatten()[0]
-                            - float(ground_truth)
-                        )
-                    )
-                    if (
-                        (ground_truth := patient_to_ground_truth.get(patient_id))
-                        is not None
-                        and str(ground_truth).lower() != "nan"
-                        and np.asarray(prediction).size == 1
-                    )
-                    else None
-                ),
-            }
-            for patient_id, prediction in predictions.items()
-        ]
-    ).sort_values(by="loss", na_position="last")
+    """Regression CSV contract: patient, ground truth, ``pred``, absolute
+    error ``loss`` (None when the ground truth is missing), sorted by loss."""
+    rows = []
+    for pid, pred in predictions.items():
+        pred = np.asarray(pred).ravel()
+        gt = patient_to_ground_truth.get(pid)
+        scalar = pred.size == 1
+        has_gt = gt is not None and str(gt).lower() != "nan"
+        rows.append({
+            patient_label: pid,
+            ground_truth_label: gt,
+            "pred": float(pred[0]) if scalar else pred.tolist(),
+            "loss": abs(float(pred[0]) - float(gt)) if scalar and has_gt else None,
+        })
+    return pd.DataFrame(rows).sort_values(by="loss", na_position="last")
 
 
 def _to_survival_prediction_df(
@@ -628,22 +625,24 @@ def _to_survival_prediction_df(
     cut_off: float | None = None,
     **kwargs,
 ) -> pd.DataFrame:
-    rows: list[dict] = []
-    for patient_id, pred in predictions.items():
-        pred = np.asarray(pred).flatten()
-        gt = patient_to_ground_truth.get(patient_id)
-        row: dict = {patient_label: patient_id}
-        if pred.size == 1:
-            row["pred_score"] = float(pred[0])
-        else:
-            row["pred_score"] = pred.tolist()
-        if isinstance(gt, (tuple, list)) and len(gt) == 2:
-            row[time_label], row[status_label] = gt
-        else:
-            row[time_label], row[status_label] = None, None
-        rows.append(row)
+    """Survival CSV contract: patient, ``pred_score`` risk, the (time,
+    event) ground truth, and — when the model stored a training-median
+    cut-off — an empty ``cut_off=<value>`` column whose *header* carries the
+    KM-split threshold downstream statistics reads."""
+    rows = []
+    for pid, pred in predictions.items():
+        pred = np.asarray(pred).ravel()
+        gt = patient_to_ground_truth.get(pid)
+        known = isinstance(gt, (tuple, list)) and len(gt) == 2
+        time, status = gt if known else (None, None)
+        rows.append({
+            patient_label: pid,
+            "pred_score": float(pred[0]) if pred.size == 1 else pred.tolist(),
+            time_label: time,
+            status_label: status,
+        })
 
-    df = pd.DataFrame(rows)
+    table = pd.DataFrame(rows)
     if cut_off is not None:
-        df[f"cut_off={cut_off}"] = None
-    return df
+        table[f"cut_off={cut_off}"] = None
+    return table

@@ -135,7 +135,6 @@ def setup_dataloaders_for_training(
     Sequence[PatientId],
 ]:
     """Stratified split + train/valid iterators (reference train.py:354-501)."""
-    del num_workers  # host pipeline is thread-based; kept for config parity
     ground_truths = [
         patient_data.ground_truth
         for patient_data in patient_to_data.values()
@@ -217,8 +216,12 @@ def setup_dataloaders_for_training(
                 "bag_size is null (whole-slide training): forcing batch_size=1"
             )
         batch_size = 1
-    train_dl = BatchIterator(train_ds, batch_size=batch_size, shuffle=True)
-    valid_dl = BatchIterator(valid_ds, batch_size=1, shuffle=False)
+    train_dl = BatchIterator(
+        train_ds, batch_size=batch_size, shuffle=True, num_workers=num_workers
+    )
+    valid_dl = BatchIterator(
+        valid_ds, batch_size=1, shuffle=False, num_workers=num_workers
+    )
 
     first = train_ds[0]
     dim_feats = int(first[0].shape[-1])

@@ -8,23 +8,24 @@ exact attrs set, atomic temp-file writes, rejection thumbnail JPG.
 TPU-first pipeline: host tiling threads produce uint8 tile batches into a
 bounded queue; the consumer runs the jitted bf16 backbone — so WSI decode,
 host→HBM transfer, and MXU compute overlap (the reference pipelines these
-through a single torch DataLoader worker, SURVEY.md §3.1)."""
+through a single torch DataLoader worker, SURVEY.md §3.1).  Each slide is
+processed by ``_extract_slide``; the driver loop owns only worklist
+construction and the per-slide fail-safe."""
 
 from __future__ import annotations
 
 import logging
 import queue
 import threading
+from dataclasses import dataclass
 from pathlib import Path
-from tempfile import NamedTemporaryFile
 
-import h5py
 import numpy as np
 import pandas as pd
 from PIL import Image
 from tqdm import tqdm
 
-import stamp_tpu
+from stamp_tpu.io.h5 import write_tile_feats_atomic
 from stamp_tpu.preprocessing.config import ExtractorName
 from stamp_tpu.preprocessing.extractor import Extractor
 from stamp_tpu.preprocessing.tiling import (
@@ -62,35 +63,84 @@ _BATCH_SIZE = 64
 _QUEUE_DEPTH = 4
 
 
-def _get_slide_paths(wsi_list: Path) -> set[str]:
-    """Filenames from the first column of a .txt/.csv/.xls(x) list
-    (reference preprocessing/__init__.py:419-436)."""
-    suf = wsi_list.suffix.lower()
-    if suf == ".txt":
-        with open(wsi_list) as f:
-            return set(line.strip() for line in f if line.strip())
-    elif suf == ".csv":
-        df = pd.read_csv(wsi_list, header=None)
-        return set(df.iloc[:, 0].astype(str))
-    elif suf in [".xls", ".xlsx"]:
-        df = pd.read_excel(wsi_list, header=None)
-        return set(df.iloc[:, 0].astype(str))
-    raise ValueError(f"Unsupported file type: {suf}")
+def _slides_named_in(wsi_list: Path) -> set[str]:
+    """Slide filenames from the first column of a .txt/.csv/.xls(x) worklist
+    file (behavior of reference preprocessing/__init__.py:419-436)."""
+    loaders = {
+        ".txt": lambda p: pd.read_table(p, header=None, skip_blank_lines=True),
+        ".csv": lambda p: pd.read_csv(p, header=None),
+        ".xls": lambda p: pd.read_excel(p, header=None),
+        ".xlsx": lambda p: pd.read_excel(p, header=None),
+    }
+    loader = loaders.get(wsi_list.suffix.lower())
+    if loader is None:
+        raise ValueError(f"Unsupported file type: {wsi_list.suffix.lower()}")
+    try:
+        table = loader(wsi_list)
+    except pd.errors.EmptyDataError:
+        return set()
+    first_column = table.iloc[:, 0].astype(str).str.strip()
+    return set(first_column[first_column != ""])
 
 
-def _batched_tiles(
-    slide_path: Path,
-    extractor: Extractor,
-    *,
-    cache_dir: Path | None,
-    cache_tiles_ext: ImageExtension,
-    tile_size_um: Microns,
-    tile_size_px: TilePixels,
-    max_workers: int,
-    brightness_cutoff: int | None,
-    canny_cutoff: float | None,
-    default_slide_mpp: SlideMPP | None,
-):
+def _build_worklist(wsi_dir: Path, wsi_list: Path | None) -> list[Path]:
+    """Assemble + shuffle the slide worklist.
+
+    Shuffling lets several machines share one output directory: combined
+    with skip-if-exists, concurrent jobs mostly work on different slides
+    (reference preprocessing/__init__.py:269-273).  Vendor containers the
+    native reader does not implement are dropped here with a named error
+    rather than failing cryptically mid-decode.
+    """
+    if wsi_list is not None:
+        candidates = [wsi_dir / name for name in _slides_named_in(wsi_list)]
+    else:
+        candidates = [
+            p for ext in supported_extensions for p in wsi_dir.glob(f"**/*{ext}")
+        ]
+
+    readable = [
+        p for p in candidates
+        if p.suffix.lower() not in UNSUPPORTED_CONTAINER_SUFFIXES
+    ]
+    if dropped := sorted(set(candidates) - set(readable)):
+        _logger.error(
+            f"skipping {len(dropped)} slide(s) in unsupported container "
+            f"formats {sorted({p.suffix.lower() for p in dropped})}: "
+            f"{[p.name for p in dropped]} — convert to pyramidal "
+            "TIFF/SVS or extract them with the reference pipeline."
+        )
+        if not readable:
+            raise UnsupportedFormatError(
+                f"every slide found in {wsi_dir} is in an unsupported "
+                "container format"
+            )
+    if not readable:
+        raise FileNotFoundError(
+            f"no slides found in {wsi_dir}"
+            + (" (or the wsi_list matched nothing)" if wsi_list else "")
+        )
+
+    rng = np.random.default_rng()  # deliberately unseeded: system entropy
+    return [readable[i] for i in rng.permutation(len(readable))]
+
+
+@dataclass(frozen=True)
+class _TilingParams:
+    """Host-side tiling knobs, grouped so the per-slide plumbing is one
+    object instead of eight keyword arguments."""
+
+    cache_dir: Path | None
+    cache_tiles_ext: ImageExtension
+    tile_size_um: Microns
+    tile_size_px: TilePixels
+    max_workers: int
+    brightness_cutoff: int | None
+    canny_cutoff: float | None
+    default_slide_mpp: SlideMPP | None
+
+
+def _batched_tiles(slide_path: Path, extractor: Extractor, p: _TilingParams):
     """Producer thread fills a bounded queue of (uint8 batch, coords) pairs."""
     q: queue.Queue = queue.Queue(maxsize=_QUEUE_DEPTH)
     _SENTINEL = object()
@@ -113,15 +163,15 @@ def _batched_tiles(
             coords: list[tuple[float, float]] = []
             for tile in _timed(tiles_with_cache(
                 slide_path,
-                cache_dir=cache_dir,
-                cache_tiles_ext=cache_tiles_ext,
-                tile_size_um=tile_size_um,
-                tile_size_px=tile_size_px,
+                cache_dir=p.cache_dir,
+                cache_tiles_ext=p.cache_tiles_ext,
+                tile_size_um=p.tile_size_um,
+                tile_size_px=p.tile_size_px,
                 max_supertile_size_slide_px=SlidePixels(2**10),
-                max_workers=max_workers,
-                brightness_cutoff=brightness_cutoff,
-                canny_cutoff=canny_cutoff,
-                default_slide_mpp=default_slide_mpp,
+                max_workers=p.max_workers,
+                brightness_cutoff=p.brightness_cutoff,
+                canny_cutoff=p.canny_cutoff,
+                default_slide_mpp=p.default_slide_mpp,
             ), "preprocess/tiling"):
                 with profiling.stage("preprocess/host_transform"):
                     images.append(extractor.transform_host(tile.image))
@@ -149,35 +199,85 @@ def _batched_tiles(
         raise error[0]
 
 
+def _extract_slide(
+    slide_path: Path,
+    extractor: Extractor,
+    tiling: _TilingParams,
+    macenko_normalization: bool,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Run one slide through the tiling → device pipeline.
+
+    Returns (fp16 feats, µm coords), or None when the slide yields no
+    tiles.  Raises on decode/MPP failures — the caller owns the per-slide
+    fail-safe.
+    """
+    if get_slide_mpp_(
+        open_slide(slide_path), default_mpp=tiling.default_slide_mpp
+    ) is None:
+        raise MPPExtractionError()
+
+    feat_batches: list[np.ndarray] = []
+    coord_batches: list[np.ndarray] = []
+    for batch, coords in _batched_tiles(slide_path, extractor, tiling):
+        if macenko_normalization:
+            import jax.numpy as jnp
+
+            from stamp_tpu.ops.macenko import macenko_normalize
+
+            batch = np.asarray(macenko_normalize(jnp.asarray(batch)))
+        # device arrays accumulate without blocking — transfers and compute
+        # of consecutive batches overlap
+        with profiling.stage("preprocess/device_forward"):
+            feats = extractor.forward(batch)
+            if profiling.timer.enabled:
+                # attribute the device wait here rather than at the h5
+                # write; profiling trades away dispatch overlap
+                feats = np.asarray(feats)
+        feat_batches.append(feats)
+        coord_batches.append(coords)
+
+    if not feat_batches:
+        return None
+    fp16 = np.concatenate(
+        [np.asarray(f).astype(np.float16) for f in feat_batches]
+    )
+    return fp16, np.concatenate(coord_batches)
+
+
 def extract_(
     *,
     wsi_dir: Path,
-    output_dir: Path,
     wsi_list: Path | None,
-    cache_dir: Path | None,
-    cache_tiles_ext: ImageExtension,
+    output_dir: Path,
+    generate_hash: bool = True,
     extractor: ExtractorName | Extractor,
+    extractor_precision: str | None = None,
     tile_size_px: TilePixels,
     tile_size_um: Microns,
-    max_workers: int,
-    device: str = "auto",
     default_slide_mpp: SlideMPP | None = None,
     brightness_cutoff: int | None = 240,
     canny_cutoff: float | None = 0.02,
-    generate_hash: bool = True,
     macenko_normalization: bool = False,
-    extractor_precision: str = "bfloat16",
+    cache_dir: Path | None,
+    cache_tiles_ext: ImageExtension,
+    max_workers: int,
+    device: str = "auto",
 ) -> None:
-    """Extracts features from slides, fail-safe per slide."""
+    """Extracts features from slides, fail-safe per slide.
+
+    ``extractor_precision`` None defers to the STAMP_INT8_EXTRACTION env
+    var; an explicit "bfloat16"/"int8" from the config always wins over the
+    environment.
+    """
     del device  # jax picks the backend
     from stamp_tpu.preprocessing.extractor import set_int8_extraction
     from stamp_tpu.preprocessing.extractor.zoo import resolve_extractor
 
-    if extractor_precision == "int8":
-        # applies to the ViT-family extractors (models/vit_image.py); other
-        # architectures log nothing and stay bf16
-        _logger.info("int8 (W8A8) extraction requested via config")
-        set_int8_extraction(True)
+    if extractor_precision is not None:
+        # covers the whole zoo: the ImageViT family plus the Swin / CLIP /
+        # CoCa / BEiT3 / TICON towers all run W8A8 under this flag
+        _logger.info(f"extractor precision pinned by config: {extractor_precision}")
+        set_int8_extraction(extractor_precision == "int8")
     try:
         extractor = resolve_extractor(extractor)
     finally:
@@ -197,106 +297,39 @@ def extract_(
     dir_id = extractor_id + (
         f"-{actual_precision}" if actual_precision != "bfloat16" else ""
     )
-    feat_output_dir = (
-        output_dir / f"{dir_id}-{code_hash}"
-        if generate_hash
-        else output_dir / dir_id
+    feat_output_dir = output_dir / (
+        f"{dir_id}-{code_hash}" if generate_hash else dir_id
     )
 
-    if wsi_list is not None:
-        slide_names = _get_slide_paths(wsi_list)
-        slide_paths = [wsi_dir / slide for slide in slide_names]
-    else:
-        slide_paths = [
-            p for ext in supported_extensions for p in wsi_dir.glob(f"**/*{ext}")
-        ]
-
-    # Fail fast (per slide, with a named error) on vendor containers the
-    # native reader does not implement, instead of a cryptic decode failure
-    # deep in the tiling stage.
-    unsupported = [
-        p for p in slide_paths
-        if p.suffix.lower() in UNSUPPORTED_CONTAINER_SUFFIXES
-    ]
-    if unsupported:
-        _logger.error(
-            f"skipping {len(unsupported)} slide(s) in unsupported container "
-            f"formats {sorted({p.suffix.lower() for p in unsupported})}: "
-            f"{[p.name for p in unsupported]} — convert to pyramidal "
-            "TIFF/SVS or extract them with the reference pipeline."
-        )
-        slide_paths = [p for p in slide_paths if p not in set(unsupported)]
-        if not slide_paths:
-            raise UnsupportedFormatError(
-                f"every slide found in {wsi_dir} is in an unsupported "
-                "container format"
-            )
-    if not slide_paths:
-        raise FileNotFoundError(
-            f"no slides found in {wsi_dir}"
-            + (" (or the wsi_list matched nothing)" if wsi_list else "")
-        )
-
-    # Shuffle so concurrent jobs on a shared filesystem interleave
-    # (reference preprocessing/__init__.py:269-273).
-    rng = np.random.default_rng()
-    perm = rng.permutation(len(slide_paths))
-    slide_paths = [slide_paths[i] for i in perm]
-
+    worklist = _build_worklist(wsi_dir, wsi_list)
     output_dir.mkdir(parents=True, exist_ok=True)
+    tiling = _TilingParams(
+        cache_dir=cache_dir,
+        cache_tiles_ext=cache_tiles_ext,
+        tile_size_um=tile_size_um,
+        tile_size_px=tile_size_px,
+        max_workers=max_workers,
+        brightness_cutoff=brightness_cutoff,
+        canny_cutoff=canny_cutoff,
+        default_slide_mpp=default_slide_mpp,
+    )
 
-    for slide_path in (progress := tqdm(slide_paths)):
-        progress.set_description(str(slide_path.relative_to(wsi_dir)))
+    for slide_path in (progress := tqdm(worklist)):
+        rel = slide_path.relative_to(wsi_dir)
+        progress.set_description(str(rel))
         _logger.debug(f"processing {slide_path}")
 
-        feature_output_path = feat_output_dir / slide_path.relative_to(
-            wsi_dir
-        ).with_suffix(".h5")
+        feature_output_path = (feat_output_dir / rel).with_suffix(".h5")
         if feature_output_path.exists():
             _logger.debug(
                 f"skipping {slide_path} because {feature_output_path} already exists"
             )
             continue
 
-        feature_output_path.parent.mkdir(parents=True, exist_ok=True)
-
         try:
-            if (
-                get_slide_mpp_(open_slide(slide_path), default_mpp=default_slide_mpp)
-                is None
-            ):
-                raise MPPExtractionError()
-
-            feats_list: list[np.ndarray] = []
-            coords_list: list[np.ndarray] = []
-            for batch, coords in _batched_tiles(
-                slide_path,
-                extractor,
-                cache_dir=cache_dir,
-                cache_tiles_ext=cache_tiles_ext,
-                tile_size_um=tile_size_um,
-                tile_size_px=tile_size_px,
-                max_workers=max_workers,
-                brightness_cutoff=brightness_cutoff,
-                canny_cutoff=canny_cutoff,
-                default_slide_mpp=default_slide_mpp,
-            ):
-                if macenko_normalization:
-                    import jax.numpy as jnp
-
-                    from stamp_tpu.ops.macenko import macenko_normalize
-
-                    batch = np.asarray(macenko_normalize(jnp.asarray(batch)))
-                # device arrays accumulate without blocking — transfers and
-                # compute of consecutive batches overlap
-                with profiling.stage("preprocess/device_forward"):
-                    feats = extractor.forward(batch)
-                    if profiling.timer.enabled:
-                        # attribute the device wait here rather than at the
-                        # h5 write; profiling trades away dispatch overlap
-                        feats = np.asarray(feats)
-                    feats_list.append(feats)
-                coords_list.append(coords)
+            extracted = _extract_slide(
+                slide_path, extractor, tiling, macenko_normalization
+            )
         except MPPExtractionError:
             _logger.exception(
                 "failed to extract MPP from slide. You can try manually setting "
@@ -307,80 +340,71 @@ def extract_(
             _logger.exception(f"error while extracting features from {slide_path}")
             continue
 
-        if len(feats_list) == 0:
+        if extracted is None:
             _logger.info(f"no tiles found in {slide_path}, skipping")
             continue
+        feats, coords = extracted
 
-        coords = np.concatenate(coords_list)
+        try:
+            with profiling.stage("preprocess/h5_write"):
+                write_tile_feats_atomic(
+                    output_path=feature_output_path,
+                    feats=feats,
+                    coords_um=coords,
+                    extractor_id=str(extractor_id),
+                    tile_size_um=tile_size_um,
+                    tile_size_px=tile_size_px,
+                    code_hash=code_hash,
+                    precision=(
+                        actual_precision
+                        if actual_precision != "bfloat16"
+                        else None
+                    ),
+                )
+        except Exception:
+            _logger.exception(f"error while writing {feature_output_path}")
+            continue
+        _logger.debug(f"saved features to {feature_output_path}")
 
-        with profiling.stage("preprocess/h5_write"), NamedTemporaryFile(
-            dir=output_dir, delete=False
-        ) as tmp_h5_file:
-            try:
-                with h5py.File(tmp_h5_file.name, "w") as h5_fp:
-                    h5_fp["coords"] = coords
-                    h5_fp["feats"] = np.concatenate(
-                        [np.asarray(f).astype(np.float16) for f in feats_list]
-                    )
-                    h5_fp.attrs["stamp_version"] = stamp_tpu.__version__
-                    h5_fp.attrs["extractor"] = str(extractor_id)
-                    h5_fp.attrs["unit"] = "um"
-                    h5_fp.attrs["tile_size_um"] = tile_size_um
-                    h5_fp.attrs["tile_size_px"] = tile_size_px
-                    h5_fp.attrs["code_hash"] = code_hash
-                    h5_fp.attrs["feat_type"] = "tile"
-                    if actual_precision != "bfloat16":
-                        # provenance: features from a non-default numeric mode
-                        h5_fp.attrs["precision"] = actual_precision
-            except Exception:
-                _logger.exception(f"error while writing {feature_output_path}")
-                Path(tmp_h5_file.name).unlink(missing_ok=True)
-                continue
-
-            Path(tmp_h5_file.name).rename(feature_output_path)
-            _logger.debug(f"saved features to {feature_output_path}")
-
-        thumbnail_path = feat_output_dir / slide_path.relative_to(wsi_dir).with_suffix(
-            ".jpg"
-        )
-        thumbnail_path.parent.mkdir(exist_ok=True, parents=True)
-        _get_rejection_thumb(
-            open_slide(slide_path),
-            size=(512, 512),
+        _write_rejection_thumb(
+            slide_path,
+            thumb_path=(feat_output_dir / rel).with_suffix(".jpg"),
             coords_um=coords,
             tile_size_um=tile_size_um,
             default_slide_mpp=default_slide_mpp,
-        ).convert("RGB").save(thumbnail_path)
+        )
 
 
-def _get_rejection_thumb(
-    slide,
+def _write_rejection_thumb(
+    slide_path: Path,
     *,
-    size: tuple[int, int],
+    thumb_path: Path,
     coords_um: np.ndarray,
     tile_size_um: Microns,
     default_slide_mpp: SlideMPP | None,
-) -> Image.Image:
-    """Thumbnail with rejected regions tinted red
-    (reference preprocessing/__init__.py:383-416)."""
-    inclusion_map = np.zeros(
-        np.uint32(
-            np.ceil(
-                np.array(slide.dimensions)
-                * get_slide_mpp_(slide, default_mpp=default_slide_mpp)
-                / tile_size_um
-            )
-        ),
-        dtype=bool,
-    )
-    tile_indices = np.floor(coords_um / tile_size_um).astype(np.uint32)
-    inclusion_map[tile_indices[:, 0], tile_indices[:, 1]] = True
+) -> None:
+    """Save a slide thumbnail with every *rejected* tile region tinted red —
+    the at-a-glance QC artifact for the background/texture filters
+    (behavior of reference preprocessing/__init__.py:383-416)."""
+    slide = open_slide(slide_path)
+    mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
 
-    thumb = slide.get_thumbnail(size).convert("RGBA")
-    discarded_im = Image.fromarray(
-        np.where(
-            inclusion_map.transpose()[:, :, None], [0, 0, 0, 0], [255, 0, 0, 128]
-        ).astype(np.uint8)
-    ).resize(thumb.size, resample=Image.Resampling.NEAREST)
-    thumb.paste(discarded_im, mask=discarded_im)
-    return thumb
+    # grid of tile cells covering the slide; mark the kept ones
+    grid_extent = np.ceil(
+        np.asarray(slide.dimensions, np.float64) * mpp / tile_size_um
+    ).astype(np.int64)
+    kept = np.zeros((grid_extent[1], grid_extent[0]), dtype=bool)  # [gy, gx]
+    cells = np.floor(coords_um / tile_size_um).astype(np.int64)
+    kept[cells[:, 1], cells[:, 0]] = True
+
+    # paint rejected cells as a translucent red RGBA layer over the thumb
+    overlay_px = np.zeros((*kept.shape, 4), dtype=np.uint8)
+    overlay_px[~kept] = (255, 0, 0, 128)
+    thumb = slide.get_thumbnail((512, 512)).convert("RGBA")
+    overlay = Image.fromarray(overlay_px).resize(
+        thumb.size, resample=Image.Resampling.NEAREST
+    )
+    thumb.paste(overlay, mask=overlay)
+
+    thumb_path.parent.mkdir(exist_ok=True, parents=True)
+    thumb.convert("RGB").save(thumb_path)

@@ -115,17 +115,17 @@ def test_cli_encode_slides(tmp_path, monkeypatch):
 
 
 def test_wsi_list_subset(tmp_path):
-    from stamp_tpu.preprocessing.extract import _get_slide_paths
+    from stamp_tpu.preprocessing.extract import _slides_named_in
 
     lst = tmp_path / "list.txt"
     lst.write_text("a.svs\nb.tif\n\n")
-    assert _get_slide_paths(lst) == {"a.svs", "b.tif"}
+    assert _slides_named_in(lst) == {"a.svs", "b.tif"}
 
     import pandas as pd
 
     csv = tmp_path / "list.csv"
     pd.DataFrame(["x.svs", "y.svs"]).to_csv(csv, index=False, header=False)
-    assert _get_slide_paths(csv) == {"x.svs", "y.svs"}
+    assert _slides_named_in(csv) == {"x.svs", "y.svs"}
 
 
 def test_profile_flag_writes_stage_table(tmp_path, monkeypatch):

@@ -235,3 +235,38 @@ def test_h5_handle_cache_evicts_least_recently_used(tmp_path, monkeypatch):
     # f1 was evicted, so asking for it again reopens it.
     cache.get(paths[1])
     assert opened == paths[:6] + [paths[1]]
+
+
+def test_batch_iterator_num_workers_equivalence(tmp_path):
+    """Threaded fetching yields byte-identical batches (including the random
+    bag draws) to the sequential loader — num_workers changes throughput,
+    never results."""
+    from stamp_tpu.modeling.data import BagDataset, BatchIterator
+
+    paths = [
+        create_random_feature_file(
+            tmp_path=tmp_path, min_tiles=20, max_tiles=40, feat_dim=6
+        )
+        for _ in range(10)
+    ]
+
+    def epoch(workers: int):
+        ds = BagDataset(
+            bags=[[p] for p in paths],
+            ground_truths=np.arange(10, dtype=np.float32).reshape(-1, 1),
+            bag_size=8,
+        )
+        it = BatchIterator(
+            ds,
+            batch_size=3,
+            shuffle=True,
+            num_workers=workers,
+            rng=np.random.default_rng(7),
+        )
+        return list(it)
+
+    sequential, threaded = epoch(1), epoch(4)
+    assert len(sequential) == len(threaded) == 4
+    for batch_a, batch_b in zip(sequential, threaded):
+        for a, b in zip(batch_a, batch_b):
+            np.testing.assert_array_equal(a, b)
