@@ -23,11 +23,11 @@ from pathlib import Path
 import yaml
 
 try:
-    from fastmcp import Context, FastMCP
-except ModuleNotFoundError as e:  # pragma: no cover
-    raise ModuleNotFoundError(
-        "the stamp MCP server requires the `fastmcp` package"
-    ) from e
+    from fastmcp import Context, FastMCP  # type: ignore[no-redef]
+except ModuleNotFoundError:
+    # fall back to the in-repo minimal MCP runtime (same tool semantics,
+    # newline-delimited JSON-RPC stdio transport)
+    from stamp_tpu.mcp._minimal_mcp import Context, FastMCP
 
 _logger = logging.getLogger("stamp")
 
