@@ -47,6 +47,13 @@ struct ISlide {
 
 ISlide* open_tiff_slide(const char* path);
 ISlide* open_mirax_slide(const char* path);
+ISlide* open_ndpi_slide(const char* path);  // ≥4 GiB NDPI (wrapped offsets)
+
+// Shared libjpeg decode (implemented in mirax.cpp): JPEG bytes → packed
+// RGB.  Returns false on any decode error.
+#include <vector>
+bool wsi_decode_jpeg(const uint8_t* data, size_t len,
+                     std::vector<uint8_t>* rgb, int* w, int* h);
 
 // Thread-local human-readable reason for the last open/read failure.
 void set_wsi_error(const std::string& msg);

@@ -566,12 +566,16 @@ MiraxSlide* MiraxSlide::open(const char* path) {
     }
     for (const auto& e : entries) {
       const int64_t image_index = (uint32_t)e[0];
-      if (image_index >= (int64_t)L.tiles.size()) continue;
-      MiraxTile& t = L.tiles[(size_t)image_index];
-      const int64_t gx = image_index % L.grid_nx;
-      const int64_t gy = image_index / L.grid_nx;
-      // anchor = position of the first level-0 tile this stored tile covers
-      const int64_t t0x = gx * L.concat, t0y = gy * L.concat;
+      // The index addresses the *level-0* image grid at every zoom level
+      // (OpenSlide's convention: a stored tile of concat^2 level-0 images
+      // is filed under its top-left level-0 image's index) — decoding it
+      // on the per-level grid scrambles every level with concat > 1.
+      const int64_t t0x = image_index % nx;
+      const int64_t t0y = image_index / nx;
+      const int64_t gx = t0x / L.concat;
+      const int64_t gy = t0y / L.concat;
+      if (gx >= L.grid_nx || gy >= L.grid_ny) continue;
+      MiraxTile& t = L.tiles[(size_t)gy * L.grid_nx + gx];
       const int64_t cam = (t0y / divisions) * ncx + (t0x / divisions);
       t.x = s->cam_x_[(size_t)cam] +
             (t0x % divisions) * s->levels_[0].tile_w;
@@ -739,4 +743,9 @@ int32_t MiraxSlide::read_level(int32_t level, void* out) {
 ISlide* open_mirax_slide(const char* path) {
   MiraxSlide* s = MiraxSlide::open(path);
   return s;
+}
+
+bool wsi_decode_jpeg(const uint8_t* data, size_t len,
+                     std::vector<uint8_t>* rgb, int* w, int* h) {
+  return decode_jpeg(data, len, rgb, w, h);
 }

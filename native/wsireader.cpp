@@ -335,6 +335,17 @@ extern "C" {
 void* wsi_open(const char* path) {
   set_wsi_error("");
   if (has_suffix_ci(path, ".mrxs")) return open_mirax_slide(path);
+  if (has_suffix_ci(path, ".ndpi")) {
+    // classic-TIFF NDPI files over 4 GiB carry wrapped 32-bit offsets that
+    // libtiff mis-reads; route them to the offset-reconstructing backend
+    FILE* probe = std::fopen(path, "rb");
+    if (probe) {
+      std::fseek(probe, 0, SEEK_END);
+      const int64_t size = std::ftell(probe);
+      std::fclose(probe);
+      if (size >= (int64_t)1 << 32) return open_ndpi_slide(path);
+    }
+  }
   return open_tiff_slide(path);
 }
 

@@ -381,13 +381,13 @@ def open_slide(path: Path | str):
     with open(path, "rb") as fp:
         magic = fp.read(4)
     if suffix == ".ndpi" and magic in (b"II*\x00", b"MM\x00*"):
-        # Hamamatsu NDPI >4 GiB keeps classic 32-bit TIFF offsets that wrap;
-        # decoding those needs the vendor offset-reconstruction hack.
-        if path.stat().st_size >= 2**32:
+        # Hamamatsu NDPI ≥4 GiB keeps classic 32-bit TIFF offsets that wrap;
+        # the native reader reconstructs them (native/ndpi.cpp, OpenSlide's
+        # fixup convention) — but that path needs the native library.
+        if path.stat().st_size >= 2**32 and _load_native() is None:
             raise UnsupportedFormatError(
-                f"{path.name}: NDPI file exceeds 4 GiB with classic TIFF "
-                "offsets (vendor offset wrap-around) — not supported by the "
-                "native reader yet."
+                f"{path.name}: NDPI files over 4 GiB need the native reader "
+                "(build native/ with `make`)."
             )
     if magic in _TIFF_MAGICS and _load_native() is not None:
         try:

@@ -110,7 +110,10 @@ def write_mirax(
                     continue
                 ax, ay = tile_anchor(gx * concat, gy * concat)
                 jpg = _jpeg_bytes(crop(ax, ay, tile, concat))
-                entries.append((gy * gnx + gx, blob.tell(), len(jpg), lvl))
+                # index on the LEVEL-0 image grid at every zoom level (the
+                # OpenSlide .mrxs convention the native reader decodes)
+                index0 = (gy * concat) * nx + (gx * concat)
+                entries.append((index0, blob.tell(), len(jpg), lvl))
                 blob.write(jpg)
         data_files.append(blob.getvalue())
         level_entries.append(entries)

@@ -275,3 +275,26 @@ def test_dilated_attention_masks_padding():
     ref1 = dilated_attention_reference(q[2:], k[2:], v[2:], w=64, r=2)
     np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(ref0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[2:]), np.asarray(ref1), atol=1e-5)
+
+
+def test_encoder_propagates_int8_source_precision(tmp_path, monkeypatch):
+    """Embeddings pooled from int8-extracted tiles must carry the int8
+    provenance into their own attrs (source_precision)."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    from stamp_tpu.encoding.encoder.chief import CHIEF
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    _write_tile_h5(feat_dir / "s0.h5", 16, 768, "chief-ctranspath")
+    with h5py.File(feat_dir / "s0.h5", "a") as h5:
+        h5.attrs["precision"] = "int8"
+    _write_tile_h5(feat_dir / "s1.h5", 16, 768, "chief-ctranspath")  # default bf16
+
+    enc = CHIEF()
+    enc.encode_slides_(
+        output_dir=tmp_path / "out", feat_dir=feat_dir, generate_hash=False
+    )
+    with h5py.File(tmp_path / "out" / "chief-slide" / "s0.h5") as h5:
+        assert h5.attrs["source_precision"] == "int8"
+    with h5py.File(tmp_path / "out" / "chief-slide" / "s1.h5") as h5:
+        assert "source_precision" not in h5.attrs
