@@ -17,6 +17,8 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from stamp_tpu.models.vit_image import QuantDense
 import numpy as np
 
 
@@ -32,6 +34,8 @@ class CLIPVisionConfig:
     norm_eps: float = 1e-5
     mean: tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
     std: tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+    # QuantDense mode of the block matmuls: "off" | "observe" | "int8"
+    quant: str = "off"
 
 
 def _quick_gelu(x: jax.Array) -> jax.Array:
@@ -47,9 +51,9 @@ class _CLIPBlock(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1")(x)
         b, n, d = h.shape
         head_dim = cfg.embed_dim // cfg.num_heads
-        q = nn.Dense(cfg.embed_dim, name="q")(h)
-        k = nn.Dense(cfg.embed_dim, name="k")(h)
-        v = nn.Dense(cfg.embed_dim, name="v")(h)
+        q = QuantDense(cfg.embed_dim, mode=cfg.quant, name="q")(h)
+        k = QuantDense(cfg.embed_dim, mode=cfg.quant, name="k")(h)
+        v = QuantDense(cfg.embed_dim, mode=cfg.quant, name="v")(h)
 
         def heads(t):
             return t.reshape(b, n, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -64,12 +68,12 @@ class _CLIPBlock(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(h.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        x = x + nn.Dense(cfg.embed_dim, name="out")(out)
+        x = x + QuantDense(cfg.embed_dim, mode=cfg.quant, name="out")(out)
 
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
-        h = nn.Dense(cfg.mlp_dim, name="fc1")(h)
+        h = QuantDense(cfg.mlp_dim, mode=cfg.quant, name="fc1")(h)
         h = _quick_gelu(h)
-        h = nn.Dense(cfg.embed_dim, name="fc2")(h)
+        h = QuantDense(cfg.embed_dim, mode=cfg.quant, name="fc2")(h)
         return x + h
 
 
@@ -172,3 +176,12 @@ def convert_clip_vision_state_dict(
             },
         }
     return {"params": params}
+
+
+def clip_quant_sites(depth: int) -> list[tuple[str, ...]]:
+    """QuantDense sites of the CLIP tower (the projection head stays bf16)."""
+    return [
+        (f"block_{i}", name)
+        for i in range(depth)
+        for name in ("q", "k", "v", "out", "fc1", "fc2")
+    ]

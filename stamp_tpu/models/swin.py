@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stamp_tpu.models.vit_image import QuantDense
+
 
 def _window_partition(x: jax.Array, window: int) -> jax.Array:
     """[B, H, W, C] → [B·nW, window², C]."""
@@ -51,7 +53,12 @@ def _relative_position_index(window: int) -> np.ndarray:
 
 
 def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
-    """Attention mask for shifted windows: [nW, n, n] with 0 / -100."""
+    """Attention mask for shifted windows: [nW, n, n] with 0 / -100.
+
+    Pure numpy: the mask is static, and computing it with jnp ops would
+    turn it into a tracer when the caller runs under jit (the module is
+    applied inside the extractor's jitted forward).
+    """
     img_mask = np.zeros((1, h, w, 1))
     h_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
     w_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
@@ -60,8 +67,11 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
         for ws in w_slices:
             img_mask[:, hs, ws, :] = cnt
             cnt += 1
-    mask_windows = _window_partition(jnp.asarray(img_mask), window)
-    mask_windows = np.asarray(mask_windows).reshape(-1, window * window)
+    # numpy re-statement of _window_partition on the static mask
+    mask = img_mask.reshape(1, h // window, window, w // window, window, 1)
+    mask_windows = mask.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window * window
+    )
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
@@ -70,6 +80,7 @@ class _WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None) -> jax.Array:
@@ -84,7 +95,7 @@ class _WindowAttention(nn.Module):
         )
         rel_idx = _relative_position_index(self.window).reshape(-1)
 
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = QuantDense(3 * self.dim, mode=self.quant, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = q.transpose(0, 2, 1, 3) * head_dim**-0.5
@@ -107,7 +118,7 @@ class _WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(self.dim, name="proj")(out)
+        return QuantDense(self.dim, mode=self.quant, name="proj")(out)
 
 
 class _SwinBlock(nn.Module):
@@ -117,6 +128,7 @@ class _SwinBlock(nn.Module):
     window: int
     shift: int
     mlp_ratio: float = 4.0
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -136,7 +148,7 @@ class _SwinBlock(nn.Module):
 
         x_windows = _window_partition(x, self.window)
         attn_windows = _WindowAttention(
-            self.dim, self.window, self.num_heads, name="attn"
+            self.dim, self.window, self.num_heads, self.quant, name="attn"
         )(x_windows, mask)
         x = _window_reverse(attn_windows, self.window, h, w)
 
@@ -147,9 +159,9 @@ class _SwinBlock(nn.Module):
         x = shortcut + x
 
         h_ = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h_ = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h_)
+        h_ = QuantDense(int(self.dim * self.mlp_ratio), mode=self.quant, name="mlp_fc1")(h_)
         h_ = nn.gelu(h_, approximate=False)
-        h_ = nn.Dense(self.dim, name="mlp_fc2")(h_)
+        h_ = QuantDense(self.dim, mode=self.quant, name="mlp_fc2")(h_)
         return x + h_
 
 
@@ -211,6 +223,7 @@ class SwinTransformer(nn.Module):
     depths: tuple[int, ...] = (2, 2, 6, 2)
     num_heads: tuple[int, ...] = (3, 6, 12, 24)
     window: int = 7
+    quant: str = "off"  # QuantDense mode of the block matmuls
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -232,6 +245,7 @@ class SwinTransformer(nn.Module):
                     num_heads=heads,
                     window=window,
                     shift=shift,
+                    quant=self.quant,
                     name=f"stage{stage}_block{blk}",
                 )(x)
             if stage < len(self.depths) - 1:
@@ -320,3 +334,18 @@ def convert_ctranspath_state_dict(sd: dict[str, np.ndarray]) -> dict:
 
     params["norm"] = {"scale": t("norm.weight"), "bias": t("norm.bias")}
     return {"params": params}
+
+
+def swin_quant_sites(depths=(2, 2, 6, 2)) -> list[tuple[str, ...]]:
+    """QuantDense sites of the Swin stages (patch merging / stem stay bf16)."""
+    sites = []
+    for stage, depth in enumerate(depths):
+        for blk in range(depth):
+            block = f"stage{stage}_block{blk}"
+            sites += [
+                (block, "attn", "qkv"),
+                (block, "attn", "proj"),
+                (block, "mlp_fc1"),
+                (block, "mlp_fc2"),
+            ]
+    return sites

@@ -20,6 +20,8 @@ import math
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from stamp_tpu.models.vit_image import QuantDense
 import numpy as np
 
 
@@ -39,6 +41,7 @@ def get_slopes(n: int) -> list[float]:
 class _TiconAttention(nn.Module):
     dim: int
     num_heads: int
+    quant: str = "off"
 
     @nn.compact
     def __call__(
@@ -48,9 +51,9 @@ class _TiconAttention(nn.Module):
         h = self.num_heads
         head_dim = d // h
 
-        q = nn.Dense(d, name="q_proj")(x)
-        k = nn.Dense(d, name="k_proj")(x)
-        v = nn.Dense(d, name="v_proj")(x)
+        q = QuantDense(d, mode=self.quant, name="q_proj")(x)
+        k = QuantDense(d, mode=self.quant, name="k_proj")(x)
+        v = QuantDense(d, mode=self.quant, name="v_proj")(x)
 
         def heads(t):
             return t.reshape(b, n, h, head_dim).transpose(0, 2, 1, 3)
@@ -70,7 +73,7 @@ class _TiconAttention(nn.Module):
         weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        return nn.Dense(d, name="proj")(out)
+        return QuantDense(d, mode=self.quant, name="proj")(out)
 
 
 class _TiconMlp(nn.Module):
@@ -78,29 +81,31 @@ class _TiconMlp(nn.Module):
     (ticon.py:53-77)."""
 
     dim: int
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = int(self.dim * 16 / 3)
-        x12 = nn.Dense(hidden, name="fc1")(x)
+        x12 = QuantDense(hidden, mode=self.quant, name="fc1")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return nn.Dense(self.dim, name="fc2")(nn.silu(x1) * x2)
+        return QuantDense(self.dim, mode=self.quant, name="fc2")(nn.silu(x1) * x2)
 
 
 class _TiconBlock(nn.Module):
     dim: int
     num_heads: int
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array, coords: jax.Array) -> jax.Array:
         gamma1 = self.param("gamma1", nn.initializers.ones, (self.dim,))
         gamma2 = self.param("gamma2", nn.initializers.ones, (self.dim,))
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x + gamma1 * _TiconAttention(self.dim, self.num_heads, name="attn")(
-            h, coords
-        )
+        x = x + gamma1 * _TiconAttention(
+            self.dim, self.num_heads, self.quant, name="attn"
+        )(h, coords)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        return x + gamma2 * _TiconMlp(self.dim, name="mlp")(h)
+        return x + gamma2 * _TiconMlp(self.dim, self.quant, name="mlp")(h)
 
 
 class _ProjectionMlp(nn.Module):
@@ -124,14 +129,15 @@ class TiconEncoder(nn.Module):
     depth: int = 6
     num_heads: int = 24
     in_dim: int = 1536  # hoptimus1 features
+    quant: str = "off"  # QuantDense mode of the block matmuls
 
     @nn.compact
     def __call__(self, feats: jax.Array, coords: jax.Array) -> jax.Array:
         x = _ProjectionMlp(self.embed_dim, self.embed_dim, name="input_proj")(feats)
         for i in range(self.depth):
-            x = _TiconBlock(self.embed_dim, self.num_heads, name=f"block_{i}")(
-                x, coords
-            )
+            x = _TiconBlock(
+                self.embed_dim, self.num_heads, self.quant, name=f"block_{i}"
+            )(x, coords)
         return nn.LayerNorm(epsilon=1e-5, name="enc_norm")(x)
 
 
@@ -195,3 +201,19 @@ def convert_ticon_state_dict(
             },
         }
     return {"params": params}
+
+
+def ticon_quant_sites(depth: int) -> list[tuple[str, ...]]:
+    """QuantDense sites of the TICON encoder (input projection stays bf16)."""
+    sites = []
+    for i in range(depth):
+        block = f"block_{i}"
+        sites += [
+            (block, "attn", "q_proj"),
+            (block, "attn", "k_proj"),
+            (block, "attn", "v_proj"),
+            (block, "attn", "proj"),
+            (block, "mlp", "fc1"),
+            (block, "mlp", "fc2"),
+        ]
+    return sites

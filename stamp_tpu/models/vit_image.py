@@ -329,41 +329,61 @@ class ImageViT(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def quantize_vit_params(params: dict, cfg: ViTConfig) -> dict:
-    """Pre-quantize the block Dense kernels to int8 per output channel.
+def _quantized_dense_site(leaf_parent: dict) -> dict:
+    """bf16/f32 Dense params → the int8 QuantDense tree:
+    ``kernel_q = round(kernel / w_scale)`` (int8 per output channel),
+    ``w_scale = max|kernel[:, n]| / 127`` (f32); the bias rides along.
 
-    Maps the bf16/f32 parameter tree of an ``ImageViT(cfg)`` onto the tree
-    expected by ``ImageViT(cfg with quant="int8")``: every QuantDense site
-    (block_*/attn/{qkv,proj}, block_*/mlp/{fc1,fc2}) gets
-    ``kernel_q = round(kernel / w_scale)`` (int8) and
-    ``w_scale = max|kernel[:, n]| / 127`` (f32).  Patch embed, LayerNorms,
-    LayerScale, biases and the attention math itself stay in bf16.
+    jnp (not np) so pre-quantization of device-resident weights happens
+    on-device instead of pulling gigabytes to the host."""
+    kernel = jnp.asarray(leaf_parent["kernel"], dtype=jnp.float32)
+    s = jnp.maximum(jnp.abs(kernel).max(axis=0), 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(kernel / s), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": kq, "w_scale": s}
+    if "bias" in leaf_parent:
+        out["bias"] = leaf_parent["bias"]
+    return out
+
+
+def quantize_sites(params: dict, sites) -> dict:
+    """Pre-quantize the Dense kernels at explicit parameter-tree paths.
+
+    ``sites`` is an iterable of tuple paths (e.g. ``("block_0", "attn",
+    "qkv")``); every listed site must be a QuantDense in the int8-mode
+    module.  Everything else (patch embeds, LayerNorms, LayerScale, the
+    attention math) stays bf16.
     """
 
-    def quant_kernel(leaf_parent: dict) -> dict:
-        # jnp (not np) so pre-quantization of device-resident weights happens
-        # on-device instead of pulling gigabytes to the host
-        kernel = jnp.asarray(leaf_parent["kernel"], dtype=jnp.float32)
-        s = jnp.maximum(jnp.abs(kernel).max(axis=0), 1e-8) / 127.0
-        kq = jnp.clip(jnp.round(kernel / s), -127, 127).astype(jnp.int8)
-        out = {"kernel_q": kq, "w_scale": s}
-        if "bias" in leaf_parent:
-            out["bias"] = leaf_parent["bias"]
-        return out
+    def replace(tree: dict, path: tuple) -> dict:
+        node = dict(tree)
+        if len(path) == 1:
+            node[path[0]] = _quantized_dense_site(node[path[0]])
+        else:
+            node[path[0]] = replace(node[path[0]], path[1:])
+        return node
 
-    new_params = dict(params)
-    for i in range(cfg.depth):
-        block = dict(new_params[f"block_{i}"])
-        attn = dict(block["attn"])
-        attn["qkv"] = quant_kernel(attn["qkv"])
-        attn["proj"] = quant_kernel(attn["proj"])
-        block["attn"] = attn
-        mlp = dict(block["mlp"])
-        mlp["fc1"] = quant_kernel(mlp["fc1"])
-        mlp["fc2"] = quant_kernel(mlp["fc2"])
-        block["mlp"] = mlp
-        new_params[f"block_{i}"] = block
-    return new_params
+    for path in sites:
+        params = replace(params, tuple(path))
+    return params
+
+
+def vit_quant_sites(depth: int) -> list[tuple[str, ...]]:
+    """The QuantDense sites of an ImageViT / CoCa-trunk block stack."""
+    sites: list[tuple[str, ...]] = []
+    for i in range(depth):
+        block = f"block_{i}"
+        sites += [
+            (block, "attn", "qkv"),
+            (block, "attn", "proj"),
+            (block, "mlp", "fc1"),
+            (block, "mlp", "fc2"),
+        ]
+    return sites
+
+
+def quantize_vit_params(params: dict, cfg: ViTConfig) -> dict:
+    """Pre-quantize an ``ImageViT(cfg)`` tree for ``quant="int8"`` mode."""
+    return quantize_sites(params, vit_quant_sites(cfg.depth))
 
 
 def calibrate_act_stats(

@@ -70,6 +70,34 @@ class Extractor:
     the source of truth for output provenance and artifact dir naming."""
 
 
+def int8_tower_state(calibrate, quantize, variables, identifier: str):
+    """Calibrate-once-then-W8A8 state machine for the non-ImageViT towers
+    (Swin / CLIP / CoCa / BEiT3 / TICON; the ImageViT zoo has its own
+    dp-mesh-aware variant in `make_vit_extractor`).
+
+    ``calibrate(variables, batch)`` runs one observe-mode forward and
+    returns the recorded ``act_stats`` collection; ``quantize(params)``
+    emits the pre-quantized int8 tree.  Returns ``vars_for(batch)`` which
+    calibrates on its first call and serves the int8 variables after.
+    """
+    _logger.warning(
+        f"{identifier}: int8 (W8A8) inference enabled — features will "
+        "deviate slightly from the fp16/bf16 reference output"
+    )
+    state: dict = {}
+
+    def vars_for(batch):
+        if "qvars" not in state:
+            act_stats = calibrate(variables, batch)
+            state["qvars"] = {
+                "params": quantize(variables["params"]),
+                "act_stats": act_stats,
+            }
+        return state["qvars"]
+
+    return vars_for
+
+
 def _resize_transform(size: int) -> Callable[[Image.Image], np.ndarray]:
     def transform(img: Image.Image) -> np.ndarray:
         if img.size != (size, size):

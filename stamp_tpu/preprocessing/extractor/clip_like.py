@@ -23,8 +23,10 @@ from stamp_tpu.models.vit_image import (
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
     _find_torch_weights,
+    _int8_requested,
     _load_torch_state_dict,
     _resize_transform,
+    int8_tower_state,
 )
 
 _logger = logging.getLogger("stamp")
@@ -69,13 +71,46 @@ def make_plip_extractor(identifier: str = "plip") -> Extractor:
         x = (images_u8.astype(jnp.float32) - mean) / std
         return module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    use_int8 = _int8_requested()
+    if use_int8:
+        from dataclasses import replace
+
+        from stamp_tpu.models.clip_vision import clip_quant_sites
+        from stamp_tpu.models.vit_image import quantize_sites
+
+        observe = CLIPVisionTower(replace(cfg, quant="observe"))
+        int8 = CLIPVisionTower(replace(cfg, quant="int8"))
+
+        @jax.jit
+        def _calibrate(variables, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = observe.apply(
+                variables, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(qvars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return int8.apply(qvars, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        vars_for = int8_tower_state(
+            _calibrate,
+            lambda p: quantize_sites(p, clip_quant_sites(cfg.depth)),
+            variables,
+            identifier,
+        )
+
     def forward(batch: np.ndarray):
         n = batch.shape[0]
         if n < 64:
             batch = np.concatenate(
                 [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
             )
-        return _forward_impl(variables, jnp.asarray(batch))[:n]
+        images = jnp.asarray(batch)
+        if use_int8:
+            return _forward_int8(vars_for(images), images)[:n]
+        return _forward_impl(variables, images)[:n]
 
     return Extractor(
         identifier=identifier,
@@ -83,6 +118,7 @@ def make_plip_extractor(identifier: str = "plip") -> Extractor:
         feat_dim=cfg.projection_dim,
         transform_host=_resize_transform(cfg.img_size),
         forward=forward,
+        precision="int8" if use_int8 else "bfloat16",
     )
 
 

@@ -15,9 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from stamp_tpu.encoding.encoder._flax_params import load_or_init_params
-from stamp_tpu.models.beit3 import Beit3Config, Beit3VisionTower, multiscale_cls
-from stamp_tpu.models.coca import COCA_CONFIGS, CoCaVisionTower
-from stamp_tpu.preprocessing.extractor import Extractor, _resize_transform
+from stamp_tpu.models.beit3 import (
+    Beit3Config,
+    Beit3VisionTower,
+    convert_beit3_state_dict,
+    multiscale_cls,
+)
+from stamp_tpu.models.coca import (
+    COCA_CONFIGS,
+    CoCaVisionTower,
+    convert_coca_state_dict,
+)
+from stamp_tpu.preprocessing.extractor import (
+    Extractor,
+    _int8_requested,
+    _resize_transform,
+    int8_tower_state,
+)
 
 
 def _bf16_on_device(tree):
@@ -53,16 +67,53 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
             if variant == "conch"
             else ["*TITAN*.bin", "*conch*1*5*.safetensors"]
         ),
+        convert=lambda sd: convert_coca_state_dict(sd, cfg),
     )
     variables = _bf16_on_device(variables)
 
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
-    @jax.jit
-    def _forward_impl(images_u8):
-        x = (images_u8.astype(jnp.float32) - mean) / std
-        return module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    use_int8 = _int8_requested()
+    if use_int8:
+        from dataclasses import replace
+
+        from stamp_tpu.models.vit_image import quantize_sites, vit_quant_sites
+
+        observe = CoCaVisionTower(replace(cfg, quant="observe"))
+        int8 = CoCaVisionTower(replace(cfg, quant="int8"))
+
+        @jax.jit
+        def _calibrate(variables, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = observe.apply(
+                variables, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(qvars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return int8.apply(qvars, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        vars_for = int8_tower_state(
+            _calibrate,
+            lambda p: quantize_sites(p, vit_quant_sites(cfg.depth)),
+            variables,
+            identifier,
+        )
+
+        def _forward_impl(images_u8):
+            return _forward_int8(vars_for(images_u8), images_u8)
+
+    else:
+
+        @jax.jit
+        def _forward_impl(images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return module.apply(variables, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
 
     return Extractor(
         identifier=identifier,
@@ -70,6 +121,7 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
         feat_dim=cfg.pooled_dim,
         transform_host=_resize_transform(cfg.img_size),
         forward=_batched(_forward_impl),
+        precision="int8" if use_int8 else "bfloat16",
     )
 
 
@@ -82,18 +134,58 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
         (jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),),
         name=identifier,
         weight_files=["*musk*.safetensors", "*MUSK*.pth"],
+        convert=lambda sd: convert_beit3_state_dict(sd, cfg),
     )
     variables = _bf16_on_device(variables)
 
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
-    @jax.jit
-    def _forward_impl(images_u8):
-        x = (images_u8.astype(jnp.float32) - mean) / std
-        return multiscale_cls(module, variables, x.astype(jnp.bfloat16)).astype(
-            jnp.float32
+    use_int8 = _int8_requested()
+    if use_int8:
+        from dataclasses import replace
+
+        from stamp_tpu.models.beit3 import beit3_quant_sites
+        from stamp_tpu.models.vit_image import quantize_sites
+
+        observe = Beit3VisionTower(replace(cfg, quant="observe"))
+        int8 = Beit3VisionTower(replace(cfg, quant="int8"))
+
+        @jax.jit
+        def _calibrate(variables, images_u8):
+            # the native-scale pass covers the crop passes' activation
+            # ranges too (same normalization, same content at 2× zoom)
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = observe.apply(
+                variables, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(qvars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return multiscale_cls(int8, qvars, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
+
+        vars_for = int8_tower_state(
+            _calibrate,
+            lambda p: quantize_sites(p, beit3_quant_sites(cfg.depth)),
+            variables,
+            identifier,
         )
+
+        def _forward_impl(images_u8):
+            return _forward_int8(vars_for(images_u8), images_u8)
+
+    else:
+
+        @jax.jit
+        def _forward_impl(images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return multiscale_cls(module, variables, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
 
     return Extractor(
         identifier=identifier,
@@ -101,4 +193,5 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
         feat_dim=2 * cfg.width,
         transform_host=_resize_transform(cfg.img_size),
         forward=_batched(_forward_impl),
+        precision="int8" if use_int8 else "bfloat16",
     )

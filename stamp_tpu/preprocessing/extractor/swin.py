@@ -13,8 +13,10 @@ from stamp_tpu.models.swin import SwinTransformer, convert_ctranspath_state_dict
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
     _find_torch_weights,
+    _int8_requested,
     _load_torch_state_dict,
     _resize_transform,
+    int8_tower_state,
 )
 
 _logger = logging.getLogger("stamp")
@@ -63,8 +65,31 @@ def make_ctranspath_extractor(
         with jax.default_matmul_precision("highest"):
             return module.apply(variables, x)
 
-    def _forward(images_u8: jax.Array) -> jax.Array:
-        return _forward_impl(variables, images_u8)
+    use_int8 = _int8_requested()
+    if use_int8:
+        from stamp_tpu.models.swin import swin_quant_sites
+        from stamp_tpu.models.vit_image import quantize_sites
+
+        observe = module.clone(quant="observe")
+        int8 = module.clone(quant="int8")
+
+        @jax.jit
+        def _calibrate(variables, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = observe.apply(variables, x, mutable=["act_stats"])
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(qvars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return int8.apply(qvars, x).astype(jnp.float32)
+
+        vars_for = int8_tower_state(
+            _calibrate,
+            lambda p: quantize_sites(p, swin_quant_sites(module.depths)),
+            variables,
+            identifier,
+        )
 
     def forward(batch: np.ndarray) -> jax.Array:
         n = batch.shape[0]
@@ -72,7 +97,10 @@ def make_ctranspath_extractor(
             batch = np.concatenate(
                 [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
             )
-        return _forward_impl(variables, jnp.asarray(batch))[:n]
+        images = jnp.asarray(batch)
+        if use_int8:
+            return _forward_int8(vars_for(images), images)[:n]
+        return _forward_impl(variables, images)[:n]
 
     return Extractor(
         identifier=identifier,
@@ -80,4 +108,5 @@ def make_ctranspath_extractor(
         feat_dim=768,
         transform_host=_resize_transform(224),
         forward=forward,
+        precision="int8" if use_int8 else "bfloat16",
     )

@@ -16,6 +16,7 @@ from stamp_tpu.models.vit_image import VIT_CONFIGS, ImageViT, convert_torch_stat
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
     _find_torch_weights,
+    _int8_requested,
     _load_torch_state_dict,
     _resize_transform,
 )
@@ -79,13 +80,77 @@ def make_ticon_extractor(identifier: str = "ticon") -> Extractor:
         out = ticon_module.apply(ticon_vars, emb, coords)
         return out[:, 0].astype(jnp.float32)
 
+    use_int8 = _int8_requested()
+    if use_int8:
+        from dataclasses import replace
+
+        from stamp_tpu.models.ticon import ticon_quant_sites
+        from stamp_tpu.models.vit_image import (
+            ViTConfig,
+            quantize_sites,
+            quantize_vit_params,
+        )
+
+        tile_observe = ImageViT(ViTConfig(**{**cfg.__dict__, "quant": "observe"}))
+        tile_int8 = ImageViT(ViTConfig(**{**cfg.__dict__, "quant": "int8"}))
+        ticon_observe = ticon_module.clone(quant="observe")
+        ticon_int8 = ticon_module.clone(quant="int8")
+
+        @jax.jit
+        def _calibrate(tile_vars, ticon_vars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            emb, tile_mut = tile_observe.apply(
+                tile_vars, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            emb = emb[:, None, :]
+            coords = jnp.zeros((emb.shape[0], 1, 2), emb.dtype)
+            _, ticon_mut = ticon_observe.apply(
+                ticon_vars, emb, coords, mutable=["act_stats"]
+            )
+            return tile_mut["act_stats"], ticon_mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(tile_qvars, ticon_qvars, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            emb = tile_int8.apply(tile_qvars, x.astype(jnp.bfloat16))
+            emb = emb[:, None, :]
+            coords = jnp.zeros((emb.shape[0], 1, 2), emb.dtype)
+            out = ticon_int8.apply(ticon_qvars, emb, coords)
+            return out[:, 0].astype(jnp.float32)
+
+        _logger.warning(
+            f"{identifier}: int8 (W8A8) inference enabled — features will "
+            "deviate slightly from the fp16/bf16 reference output"
+        )
+        int8_state: dict = {}
+
+        def _qvars(images):
+            if "tile" not in int8_state:
+                tile_act, ticon_act = _calibrate(tile_vars, ticon_vars, images)
+                int8_state["tile"] = {
+                    "params": quantize_vit_params(tile_vars["params"], cfg),
+                    "act_stats": tile_act,
+                }
+                int8_state["ticon"] = {
+                    "params": quantize_sites(
+                        ticon_vars["params"],
+                        ticon_quant_sites(ticon_module.depth),
+                    ),
+                    "act_stats": ticon_act,
+                }
+            return int8_state["tile"], int8_state["ticon"]
+
     def forward(batch: np.ndarray):
         n = batch.shape[0]
         if n < 64:
             batch = np.concatenate(
                 [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
             )
-        return _forward_impl(tile_vars, ticon_vars, jnp.asarray(batch))[:n]
+        images = jnp.asarray(batch)
+        if use_int8:
+            tile_q, ticon_q = _qvars(images)
+            return _forward_int8(tile_q, ticon_q, images)[:n]
+        return _forward_impl(tile_vars, ticon_vars, images)[:n]
 
     return Extractor(
         identifier=identifier,
@@ -93,4 +158,5 @@ def make_ticon_extractor(identifier: str = "ticon") -> Extractor:
         feat_dim=1536,
         transform_host=_resize_transform(224),
         forward=forward,
+        precision="int8" if use_int8 else "bfloat16",
     )
