@@ -144,3 +144,120 @@ def test_int8_config_surface(tmp_path, monkeypatch):
         np.linalg.norm(q, axis=-1) * np.linalg.norm(r, axis=-1)
     )
     assert (cos > 0.98).all()
+
+
+def _cos(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+
+
+def test_int8_breadth_all_towers():
+    """Every tower architecture (CoCa, BEiT3, CLIP, Swin, TICON) supports
+    the observe→quantize→int8 flow; int8 features stay directionally
+    faithful (cos > 0.98) to the bf16 forward on random weights."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from stamp_tpu.models.beit3 import Beit3Config, Beit3VisionTower, beit3_quant_sites
+    from stamp_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+        clip_quant_sites,
+    )
+    from stamp_tpu.models.coca import CoCaVisionConfig, CoCaVisionTower
+    from stamp_tpu.models.swin import SwinTransformer, swin_quant_sites
+    from stamp_tpu.models.ticon import TiconEncoder, ticon_quant_sites
+    from stamp_tpu.models.vit_image import quantize_sites, vit_quant_sites
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+    coca_cfg = CoCaVisionConfig(
+        img_size=32, patch_size=16, width=32, depth=2, num_heads=4,
+        pooled_dim=16, pool_heads=4,
+    )
+    clip_cfg = CLIPVisionConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=4,
+        mlp_dim=64, projection_dim=16,
+    )
+    beit_cfg = Beit3Config(img_size=32, patch_size=16, width=32, depth=2, num_heads=4)
+
+    cases = [
+        (
+            "coca",
+            lambda mode: CoCaVisionTower(replace(coca_cfg, quant=mode)),
+            vit_quant_sites(2),
+            (images,),
+        ),
+        (
+            "clip",
+            lambda mode: CLIPVisionTower(replace(clip_cfg, quant=mode)),
+            clip_quant_sites(2),
+            (images,),
+        ),
+        (
+            "beit3",
+            lambda mode: Beit3VisionTower(replace(beit_cfg, quant=mode)),
+            beit3_quant_sites(2),
+            (images,),
+        ),
+        (
+            "swin",
+            lambda mode: SwinTransformer(
+                img_size=32, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+                window=4, quant=mode,
+            ),
+            swin_quant_sites((1, 1)),
+            (images,),
+        ),
+        (
+            "ticon",
+            lambda mode: TiconEncoder(
+                embed_dim=32, depth=2, num_heads=4, in_dim=16, quant=mode
+            ),
+            ticon_quant_sites(2),
+            (
+                jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32)),
+                jnp.asarray(rng.uniform(0, 9, size=(2, 6, 2)).astype(np.float32)),
+            ),
+        ),
+    ]
+
+    for name, make, sites, args in cases:
+        variables = make("off").init(jax.random.PRNGKey(0), *args)
+        ref = np.asarray(make("off").apply(variables, *args))
+
+        _, mut = make("observe").apply(variables, *args, mutable=["act_stats"])
+        qvars = {
+            "params": quantize_sites(variables["params"], sites),
+            "act_stats": mut["act_stats"],
+        }
+        quant = np.asarray(make("int8").apply(qvars, *args))
+        assert quant.shape == ref.shape, name
+        cos = _cos(ref.reshape(-1, ref.shape[-1]), quant.reshape(-1, quant.shape[-1]))
+        assert (cos > 0.98).all(), (name, cos.min())
+
+
+def test_int8_ctranspath_factory(monkeypatch):
+    """The Swin factory honors STAMP_INT8_EXTRACTION end to end and reports
+    int8 precision for artifact provenance."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    from stamp_tpu.preprocessing.extractor.swin import make_ctranspath_extractor
+
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+
+    ref_ext = make_ctranspath_extractor(identifier="ctp-bf16")
+    assert ref_ext.precision == "bfloat16"
+    ref = np.asarray(ref_ext.forward(batch))
+
+    monkeypatch.setenv("STAMP_INT8_EXTRACTION", "1")
+    q_ext = make_ctranspath_extractor(identifier="ctp-int8")
+    assert q_ext.precision == "int8"
+    quant = np.asarray(q_ext.forward(batch))
+    monkeypatch.delenv("STAMP_INT8_EXTRACTION")
+
+    assert (_cos(ref, quant) > 0.98).all()
