@@ -28,6 +28,7 @@ is measured/450.
 Prints ONE JSON line.
 """
 
+import functools
 import json
 import os
 import sys
@@ -81,7 +82,14 @@ def main() -> None:
     def measure(label, module, vars_host):
         vars_dev = jax.device_put(vars_host, dev)
 
-        @jax.jit
+        # request the scoped-VMEM limit per-compile: remote/AOT compile
+        # services (the axon relay's helper) ignore process-level
+        # LIBTPU_INIT_ARGS but forward proto-backed --xla_* options, and the
+        # fused attention kernel OOMs the 16 MiB default at batch 256
+        @functools.partial(
+            jax.jit,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "49152"},
+        )
         def forward(v, images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             return module.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32)
@@ -148,6 +156,10 @@ def main() -> None:
         "value": round(tps, 1),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(tps / A100_BASELINE_TILES_PER_SEC, 3),
+        # precision-matched comparison: the bf16 numeric-parity path against
+        # the fp16 A100 baseline (the headline above is the opt-in int8 mode)
+        "vs_baseline_bf16": round(tps_bf16 / A100_BASELINE_TILES_PER_SEC, 3),
+        "bf16_tiles_per_sec": round(tps_bf16, 1),
     }
     print(json.dumps(result))
 

@@ -15,6 +15,7 @@ construction and the per-slide fail-safe."""
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -59,7 +60,10 @@ supported_extensions = {
 
 _logger = logging.getLogger("stamp")
 
-_BATCH_SIZE = 64
+# device batch of the extraction pipeline; larger batches amortize dispatch
+# and (with the matching pad floor in the extractor layer) keep one compiled
+# shape — 256 is the throughput sweet spot on TPU v5e (bench.py)
+_BATCH_SIZE = int(os.environ.get("STAMP_EXTRACT_BATCH", "64"))
 _QUEUE_DEPTH = 4
 
 

@@ -70,6 +70,24 @@ class Extractor:
     the source of truth for output provenance and artifact dir naming."""
 
 
+# The fused attention kernel (ops/flash_attention.py) needs more scoped
+# VMEM than the 16 MiB default at production batch sizes.  Request it
+# per-compile: remote/AOT compile services ignore the process-level
+# LIBTPU_INIT_ARGS, but proto-backed --xla_* options are forwarded with
+# every compile.  48 MiB measured best on v5e (ROADMAP.md: 64 MiB was
+# slower, 16 MiB OOMs the kernel's stack allocation at batch 256).
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+
+
+def tpu_jit(fn=None, **jit_kwargs):
+    """jax.jit that pins the TPU compiler options above (no-op off-TPU)."""
+    if jax.default_backend() == "tpu":
+        jit_kwargs.setdefault("compiler_options", TPU_COMPILER_OPTIONS)
+    if fn is None:
+        return functools.partial(jax.jit, **jit_kwargs)
+    return jax.jit(fn, **jit_kwargs)
+
+
 def int8_tower_state(calibrate, quantize, variables, identifier: str):
     """Calibrate-once-then-W8A8 state machine for the non-ImageViT towers
     (Swin / CLIP / CoCa / BEiT3 / TICON; the ImageViT zoo has its own
@@ -204,8 +222,7 @@ def make_vit_extractor(
         batch_sharding = NamedSharding(mesh, P("dp"))
         variables = jax.device_put(variables, repl)
 
-        @functools.partial(
-            jax.jit,
+        @tpu_jit(
             in_shardings=(repl, batch_sharding),
             out_shardings=batch_sharding,
         )
@@ -217,7 +234,7 @@ def make_vit_extractor(
     else:
         variables = jax.device_put(variables)
 
-        @jax.jit
+        @tpu_jit
         def _forward_impl(variables, images_u8: jax.Array) -> jax.Array:
             x = (images_u8.astype(jnp.float32) - mean) / std
             return module.apply(variables, x.astype(jnp.bfloat16)).astype(
@@ -244,17 +261,14 @@ def make_vit_extractor(
         cfg_int8 = ViTConfig(**{**cfg.__dict__, "quant": "int8"})
 
         if n_dev > 1:
-            _int8_jit = functools.partial(
-                jax.jit,
+            _int8_jit = tpu_jit(
                 in_shardings=(repl, batch_sharding),
                 out_shardings=batch_sharding,
             )
-            _calib_jit = functools.partial(
-                jax.jit, in_shardings=(repl, batch_sharding)
-            )
+            _calib_jit = tpu_jit(in_shardings=(repl, batch_sharding))
         else:
-            _int8_jit = jax.jit
-            _calib_jit = jax.jit
+            _int8_jit = tpu_jit()
+            _calib_jit = tpu_jit()
 
         @_calib_jit
         def _calibrate_impl(variables, images_u8: jax.Array):
@@ -294,7 +308,10 @@ def make_vit_extractor(
         """Non-blocking: returns the device array so transfers and compute of
         consecutive batches overlap; callers materialize at write time."""
         n = batch.shape[0]
-        pad_to = max(64, ((n + n_dev - 1) // n_dev) * n_dev) if batch_pad else n
+        floor = int(os.environ.get("STAMP_EXTRACT_BATCH", "64"))
+        pad_to = (
+            max(floor, ((n + n_dev - 1) // n_dev) * n_dev) if batch_pad else n
+        )
         if n < pad_to:
             # pad to the steady-state batch so the jit cache stays warm and
             # the batch divides evenly across the dp mesh

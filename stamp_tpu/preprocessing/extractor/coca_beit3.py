@@ -31,6 +31,7 @@ from stamp_tpu.preprocessing.extractor import (
     _int8_requested,
     _resize_transform,
     int8_tower_state,
+    tpu_jit,
 )
 
 
@@ -83,7 +84,7 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
         observe = CoCaVisionTower(replace(cfg, quant="observe"))
         int8 = CoCaVisionTower(replace(cfg, quant="int8"))
 
-        @jax.jit
+        @tpu_jit
         def _calibrate(variables, images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             _, mut = observe.apply(
@@ -91,7 +92,7 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
             )
             return mut["act_stats"]
 
-        @jax.jit
+        @tpu_jit
         def _forward_int8(qvars, images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             return int8.apply(qvars, x.astype(jnp.bfloat16)).astype(jnp.float32)
@@ -108,7 +109,7 @@ def make_conch_extractor(identifier: str, variant: str) -> Extractor:
 
     else:
 
-        @jax.jit
+        @tpu_jit
         def _forward_impl(images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             return module.apply(variables, x.astype(jnp.bfloat16)).astype(
@@ -151,7 +152,7 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
         observe = Beit3VisionTower(replace(cfg, quant="observe"))
         int8 = Beit3VisionTower(replace(cfg, quant="int8"))
 
-        @jax.jit
+        @tpu_jit
         def _calibrate(variables, images_u8):
             # the native-scale pass covers the crop passes' activation
             # ranges too (same normalization, same content at 2× zoom)
@@ -161,7 +162,7 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
             )
             return mut["act_stats"]
 
-        @jax.jit
+        @tpu_jit
         def _forward_int8(qvars, images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             return multiscale_cls(int8, qvars, x.astype(jnp.bfloat16)).astype(
@@ -180,7 +181,7 @@ def make_musk_extractor(identifier: str = "musk") -> Extractor:
 
     else:
 
-        @jax.jit
+        @tpu_jit
         def _forward_impl(images_u8):
             x = (images_u8.astype(jnp.float32) - mean) / std
             return multiscale_cls(module, variables, x.astype(jnp.bfloat16)).astype(
