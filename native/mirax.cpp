@@ -572,6 +572,10 @@ MiraxSlide* MiraxSlide::open(const char* path) {
       // on the per-level grid scrambles every level with concat > 1.
       const int64_t t0x = image_index % nx;
       const int64_t t0y = image_index / nx;
+      // bound on the level-0 image grid itself (not just the per-level tile
+      // grid): a corrupt entry with t0y in [ny, grid_ny*concat) would pass a
+      // grid_ny check yet index past the camera-position arrays
+      if (t0x >= nx || t0y >= ny) continue;
       const int64_t gx = t0x / L.concat;
       const int64_t gy = t0y / L.concat;
       if (gx >= L.grid_nx || gy >= L.grid_ny) continue;

@@ -47,7 +47,13 @@ struct Reader {
   bool ok = true;
 
   bool seek(uint64_t off) {
-    ok = ok && std::fseek(f, (long)off, SEEK_SET) == 0;
+    // every offset this backend reconstructs is ≥ 4 GiB by definition —
+    // use the 64-bit seek, not fseek's long (32-bit on ILP32/Windows)
+#ifdef _WIN32
+    ok = ok && _fseeki64(f, (long long)off, SEEK_SET) == 0;
+#else
+    ok = ok && fseeko(f, (off_t)off, SEEK_SET) == 0;
+#endif
     return ok;
   }
   uint16_t u16() {

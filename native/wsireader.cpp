@@ -340,8 +340,13 @@ void* wsi_open(const char* path) {
     // libtiff mis-reads; route them to the offset-reconstructing backend
     FILE* probe = std::fopen(path, "rb");
     if (probe) {
-      std::fseek(probe, 0, SEEK_END);
-      const int64_t size = std::ftell(probe);
+#ifdef _WIN32
+      _fseeki64(probe, 0, SEEK_END);
+      const int64_t size = _ftelli64(probe);
+#else
+      fseeko(probe, 0, SEEK_END);
+      const int64_t size = (int64_t)ftello(probe);
+#endif
       std::fclose(probe);
       if (size >= (int64_t)1 << 32) return open_ndpi_slide(path);
     }

@@ -17,6 +17,7 @@ import asyncio
 import inspect
 import json
 import sys
+import types
 import typing
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -36,7 +37,7 @@ _JSON_TYPES = {
 def _annotation_schema(annotation: Any) -> dict:
     """Best-effort JSON schema for a parameter annotation."""
     origin = typing.get_origin(annotation)
-    if origin is typing.Union or str(origin) == "types.UnionType":
+    if origin is typing.Union or origin is types.UnionType:
         non_none = [
             a for a in typing.get_args(annotation) if a is not type(None)
         ]

@@ -588,11 +588,18 @@ class _H5HandleCache:
     def __init__(self, capacity: int = 128) -> None:
         self._capacity = capacity
         self._local = threading.local()
+        # every thread's handle dict, so close_all() can release handles of
+        # loader threads that have since exited (thread-locals of dead
+        # threads otherwise linger until GC, pinning file descriptors)
+        self._all_handle_dicts: list[dict] = []
+        self._registry_lock = threading.Lock()
 
     def get(self, bag_file: FeaturePath | _BinaryIOLike) -> h5py.File:
         handles: dict | None = getattr(self._local, "handles", None)
         if handles is None:
             handles = self._local.handles = {}
+            with self._registry_lock:
+                self._all_handle_dicts.append(handles)
         key = bag_file if isinstance(bag_file, Path) else id(bag_file)
         handle = handles.pop(key, None)
         if handle is None:
@@ -602,6 +609,21 @@ class _H5HandleCache:
             handle = _open_h5(bag_file)
         handles[key] = handle  # (re)insert at the back = most recent
         return handle
+
+    def close_all(self) -> None:
+        """Close every cached handle across all threads.
+
+        Only safe while no worker thread is reading — the loader calls it
+        after its thread pool has shut down.  Handles reopen on demand.
+        """
+        with self._registry_lock:
+            for handles in self._all_handle_dicts:
+                for handle in handles.values():
+                    try:
+                        handle.close()
+                    except Exception:  # noqa: BLE001 — already closed is fine
+                        pass
+                handles.clear()
 
 
 def _to_fixed_size_bag(
@@ -857,11 +879,21 @@ class BatchIterator:
         if self.num_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                yield from self._batched(
-                    _sliding_window_map(pool, fetch, len(order), self.num_workers * 4),
-                    len(order),
-                )
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    yield from self._batched(
+                        _sliding_window_map(
+                            pool, fetch, len(order), self.num_workers * 4
+                        ),
+                        len(order),
+                    )
+            finally:
+                # the pool's threads are gone; release their cached h5
+                # handles now instead of waiting for GC to find the dead
+                # threads' locals (file descriptors are finite)
+                cache = getattr(self.dataset, "_h5_handle_cache", None)
+                if cache is not None:
+                    cache.close_all()
         else:
             yield from self._batched(map(fetch, range(len(order))), len(order))
 

@@ -358,6 +358,7 @@ def deploy_categorical_model_(
         )
 
     model_categories = None
+    trained_cats: Any = None
     if task == "classification":
         trained_cats = _agreed(models, "Categories", lambda m: m.categories)
         if not isinstance(trained_cats, dict):  # multi-target keeps per-target vocabs
@@ -399,12 +400,17 @@ def deploy_categorical_model_(
 
     def export_csv(predictions: PredictionsType, filename: str, **extra) -> None:
         if predictions and isinstance(next(iter(predictions.values())), dict):
+            # the prediction vectors are ordered by the TRAINING vocabularies
+            # — label the columns with those; fall back to inference from the
+            # deployment ground truths only when the checkpoint carries none
             targets = list(next(iter(predictions.values())).keys())
             export_cats: Any = _target_vocabularies(
-                None, targets, patient_to_ground_truth
+                trained_cats if isinstance(trained_cats, dict) else None,
+                targets,
+                patient_to_ground_truth,
             )
         elif task == "classification":
-            export_cats = models[0][0].categories
+            export_cats = trained_cats
         else:
             export_cats = []
         df_builder(

@@ -69,16 +69,24 @@ _QUEUE_DEPTH = 4
 
 def _slides_named_in(wsi_list: Path) -> set[str]:
     """Slide filenames from the first column of a .txt/.csv/.xls(x) worklist
-    file (behavior of reference preprocessing/__init__.py:419-436)."""
+    file (behavior of reference preprocessing/__init__.py:419-436).
+
+    ``.txt`` is one *verbatim* filename per line — no delimiter, quoting or
+    type inference, so names containing tabs, quotes or digits survive.
+    """
+    suffix = wsi_list.suffix.lower()
+    if suffix == ".txt":
+        lines = (line.strip() for line in wsi_list.read_text().splitlines())
+        return {line for line in lines if line}
+
     loaders = {
-        ".txt": lambda p: pd.read_table(p, header=None, skip_blank_lines=True),
         ".csv": lambda p: pd.read_csv(p, header=None),
         ".xls": lambda p: pd.read_excel(p, header=None),
         ".xlsx": lambda p: pd.read_excel(p, header=None),
     }
-    loader = loaders.get(wsi_list.suffix.lower())
+    loader = loaders.get(suffix)
     if loader is None:
-        raise ValueError(f"Unsupported file type: {wsi_list.suffix.lower()}")
+        raise ValueError(f"Unsupported file type: {suffix}")
     try:
         table = loader(wsi_list)
     except pd.errors.EmptyDataError:

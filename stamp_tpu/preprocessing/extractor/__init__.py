@@ -79,6 +79,14 @@ class Extractor:
 TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
+def batch_floor() -> int:
+    """Pad floor for extractor forwards — must track the producer batch size
+    (STAMP_EXTRACT_BATCH, preprocessing/extract.py) so every slide's partial
+    final batch pads to the one compiled shape instead of triggering a fresh
+    multi-minute XLA compile per distinct size."""
+    return int(os.environ.get("STAMP_EXTRACT_BATCH", "64"))
+
+
 def tpu_jit(fn=None, **jit_kwargs):
     """jax.jit that pins the TPU compiler options above (no-op off-TPU)."""
     if jax.default_backend() == "tpu":
@@ -308,9 +316,10 @@ def make_vit_extractor(
         """Non-blocking: returns the device array so transfers and compute of
         consecutive batches overlap; callers materialize at write time."""
         n = batch.shape[0]
-        floor = int(os.environ.get("STAMP_EXTRACT_BATCH", "64"))
         pad_to = (
-            max(floor, ((n + n_dev - 1) // n_dev) * n_dev) if batch_pad else n
+            max(batch_floor(), ((n + n_dev - 1) // n_dev) * n_dev)
+            if batch_pad
+            else n
         )
         if n < pad_to:
             # pad to the steady-state batch so the jit cache stays warm and

@@ -22,6 +22,7 @@ from stamp_tpu.models.vit_image import (
 )
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
+    batch_floor,
     _find_torch_weights,
     _int8_requested,
     _load_torch_state_dict,
@@ -103,9 +104,9 @@ def make_plip_extractor(identifier: str = "plip") -> Extractor:
 
     def forward(batch: np.ndarray):
         n = batch.shape[0]
-        if n < 64:
+        if n < (floor := batch_floor()):
             batch = np.concatenate(
-                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
         images = jnp.asarray(batch)
         if use_int8:
@@ -191,9 +192,9 @@ def make_keep_extractor(identifier: str = "keep") -> Extractor:
 
     def forward(batch: np.ndarray):
         n = batch.shape[0]
-        if n < 64:
+        if n < (floor := batch_floor()):
             batch = np.concatenate(
-                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
         return _forward_impl(variables, head, jnp.asarray(batch))[:n]
 

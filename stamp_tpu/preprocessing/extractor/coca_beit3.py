@@ -28,6 +28,7 @@ from stamp_tpu.models.coca import (
 )
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
+    batch_floor,
     _int8_requested,
     _resize_transform,
     int8_tower_state,
@@ -41,14 +42,15 @@ def _bf16_on_device(tree):
     )
 
 
-def _batched(forward_impl, pad_to: int = 4):
-    """Pad small batches to a fixed floor so jit compiles once per bucket."""
+def _batched(forward_impl):
+    """Pad small batches to the shared extraction floor so the jitted
+    forward compiles once for the whole run."""
 
     def forward(batch: np.ndarray) -> np.ndarray:
         n = batch.shape[0]
-        if n < pad_to:
+        if n < (floor := batch_floor()):
             batch = np.concatenate(
-                [batch, np.zeros((pad_to - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
         return forward_impl(jnp.asarray(batch))[:n]
 

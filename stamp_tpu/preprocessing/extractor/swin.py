@@ -12,6 +12,7 @@ import numpy as np
 from stamp_tpu.models.swin import SwinTransformer, convert_ctranspath_state_dict
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
+    batch_floor,
     _find_torch_weights,
     _int8_requested,
     _load_torch_state_dict,
@@ -93,9 +94,9 @@ def make_ctranspath_extractor(
 
     def forward(batch: np.ndarray) -> jax.Array:
         n = batch.shape[0]
-        if n < 64:
+        if n < (floor := batch_floor()):
             batch = np.concatenate(
-                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
         images = jnp.asarray(batch)
         if use_int8:

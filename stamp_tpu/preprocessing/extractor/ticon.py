@@ -15,6 +15,7 @@ from stamp_tpu.models.ticon import TiconEncoder, convert_ticon_state_dict
 from stamp_tpu.models.vit_image import VIT_CONFIGS, ImageViT, convert_torch_state_dict
 from stamp_tpu.preprocessing.extractor import (
     Extractor,
+    batch_floor,
     _find_torch_weights,
     _int8_requested,
     _load_torch_state_dict,
@@ -142,9 +143,9 @@ def make_ticon_extractor(identifier: str = "ticon") -> Extractor:
 
     def forward(batch: np.ndarray):
         n = batch.shape[0]
-        if n < 64:
+        if n < (floor := batch_floor()):
             batch = np.concatenate(
-                [batch, np.zeros((64 - n, *batch.shape[1:]), batch.dtype)]
+                [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
         images = jnp.asarray(batch)
         if use_int8:

@@ -270,3 +270,29 @@ def test_batch_iterator_num_workers_equivalence(tmp_path):
     for batch_a, batch_b in zip(sequential, threaded):
         for a, b in zip(batch_a, batch_b):
             np.testing.assert_array_equal(a, b)
+
+
+def test_batch_iterator_closes_worker_handles(tmp_path):
+    """After a threaded epoch the loader must not leave the dead worker
+    threads' cached h5 handles open (file descriptors are finite)."""
+    from stamp_tpu.modeling.data import BagDataset, BatchIterator
+
+    paths = [
+        create_random_feature_file(
+            tmp_path=tmp_path, min_tiles=8, max_tiles=12, feat_dim=4
+        )
+        for _ in range(6)
+    ]
+    ds = BagDataset(
+        bags=[[p] for p in paths],
+        ground_truths=np.zeros((6, 1), np.float32),
+        bag_size=4,
+    )
+    it = BatchIterator(
+        ds, batch_size=2, shuffle=False, num_workers=3,
+        rng=np.random.default_rng(0),
+    )
+    assert len(list(it)) == 3
+    assert all(
+        not handles for handles in ds._h5_handle_cache._all_handle_dicts
+    )

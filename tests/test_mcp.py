@@ -50,6 +50,15 @@ def test_tool_schemas_hide_context(server):
         assert tool.description  # every tool documents itself
 
 
+def test_tool_schemas_type_optional_params(server):
+    """PEP 604 unions (e.g. ``cache_dir: str | None``) must surface as the
+    typed non-None schema, not an empty one."""
+    schema = server.mcp.tools["preprocess_stamp"].input_schema["properties"]
+    assert schema["cache_dir"] == {"type": "string"}
+    assert schema["brightness_cutoff"] == {"type": "integer"}
+    assert schema["default_slide_mpp"] == {"type": "number"}
+
+
 def test_jsonrpc_initialize_and_list(server):
     sent: list[dict] = []
     response = server.mcp.handle_request(
