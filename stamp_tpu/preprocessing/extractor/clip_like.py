@@ -181,14 +181,49 @@ def make_keep_extractor(identifier: str = "keep") -> Extractor:
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
 
-    @jax.jit
-    def _forward_impl(variables, head, images_u8):
-        x = (images_u8.astype(jnp.float32) - mean) / std
-        feats = module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    def _head_proj(feats, head):
         h = feats @ head["w0"].T + head["b0"]
         h = jax.nn.gelu(h, approximate=False)
         h = h @ head["w2"].T + head["b2"]
         return h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+
+    @jax.jit
+    def _forward_impl(variables, head, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) / std
+        feats = module.apply(variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        return _head_proj(feats, head)
+
+    use_int8 = _int8_requested()
+    if use_int8:
+        from dataclasses import replace
+
+        from stamp_tpu.models.vit_image import quantize_vit_params
+
+        trunk_observe = ImageViT(replace(cfg, quant="observe"))
+        trunk_int8 = ImageViT(replace(cfg, quant="int8"))
+
+        @jax.jit
+        def _calibrate(variables, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            _, mut = trunk_observe.apply(
+                variables, x.astype(jnp.bfloat16), mutable=["act_stats"]
+            )
+            return mut["act_stats"]
+
+        @jax.jit
+        def _forward_int8(qvars, head, images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            feats = trunk_int8.apply(qvars, x.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
+            return _head_proj(feats, head)
+
+        vars_for = int8_tower_state(
+            _calibrate,
+            lambda p: quantize_vit_params(p, cfg),
+            variables,
+            identifier,
+        )
 
     def forward(batch: np.ndarray):
         n = batch.shape[0]
@@ -196,7 +231,10 @@ def make_keep_extractor(identifier: str = "keep") -> Extractor:
             batch = np.concatenate(
                 [batch, np.zeros((floor - n, *batch.shape[1:]), batch.dtype)]
             )
-        return _forward_impl(variables, head, jnp.asarray(batch))[:n]
+        images = jnp.asarray(batch)
+        if use_int8:
+            return _forward_int8(vars_for(images), head, images)[:n]
+        return _forward_impl(variables, head, images)[:n]
 
     return Extractor(
         identifier=identifier,
@@ -204,4 +242,5 @@ def make_keep_extractor(identifier: str = "keep") -> Extractor:
         feat_dim=projection_dim,
         transform_host=_resize_transform(224),
         forward=forward,
+        precision="int8" if use_int8 else "bfloat16",
     )

@@ -241,6 +241,30 @@ def test_int8_breadth_all_towers():
         assert (cos > 0.98).all(), (name, cos.min())
 
 
+def test_int8_keep_factory(monkeypatch):
+    """The KEEP factory (ViT-L trunk + projection head) honors
+    STAMP_INT8_EXTRACTION — the last zoo member to gain int8 coverage."""
+    monkeypatch.setenv("STAMP_RANDOM_WEIGHTS", "1")
+    # keep's trunk is ViT-L — cap the pad floor so the CPU test stays fast
+    monkeypatch.setenv("STAMP_EXTRACT_BATCH", "2")
+    from stamp_tpu.preprocessing.extractor.clip_like import make_keep_extractor
+
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+
+    ref_ext = make_keep_extractor(identifier="keep-bf16")
+    assert ref_ext.precision == "bfloat16"
+    ref = np.asarray(ref_ext.forward(batch))
+
+    monkeypatch.setenv("STAMP_INT8_EXTRACTION", "1")
+    q_ext = make_keep_extractor(identifier="keep-int8")
+    assert q_ext.precision == "int8"
+    quant = np.asarray(q_ext.forward(batch))
+    monkeypatch.delenv("STAMP_INT8_EXTRACTION")
+
+    assert (_cos(ref, quant) > 0.98).all()
+
+
 def test_int8_ctranspath_factory(monkeypatch):
     """The Swin factory honors STAMP_INT8_EXTRACTION end to end and reports
     int8 precision for artifact provenance."""
