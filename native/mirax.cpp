@@ -21,8 +21,10 @@
 //
 // Supported profile (documented; validated against synthetic fixtures —
 // real-slide validation is pending in the zero-egress build environment):
-//   * JPEG tile format (the overwhelmingly common case).  PNG/BMP tiles fail
-//     at open with a clear error.
+//   * JPEG (the overwhelmingly common case), PNG and BMP24 tile formats —
+//     the three IMAGE_FORMAT values real scanners emit.  Tiles are
+//     dispatched on their magic bytes, so mixed-format containers decode
+//     too; other declared formats fail at open with a clear error.
 //   * tile positions from VIMSLIDE_POSITION_BUFFER (plain or zlib-compressed,
 //     as written by newer scanners) or, when absent, the regular grid implied
 //     by DIGITIZER size minus camera OVERLAP.
@@ -36,6 +38,7 @@
 #include "islide.h"
 
 #include <jpeglib.h>
+#include <png.h>
 #include <zlib.h>
 
 #include <algorithm>
@@ -95,6 +98,81 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
+}
+
+// Decode a PNG byte stream to tightly-packed RGB via libpng's simplified
+// read API (alpha is composited away; palette/gray expand to RGB).
+bool decode_png(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
+                int* w, int* h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, len)) return false;
+  image.format = PNG_FORMAT_RGB;
+  *w = (int)image.width;
+  *h = (int)image.height;
+  rgb->resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, rgb->data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+// Decode an uncompressed BI_RGB Windows BMP (24- or 32-bit — MIRAX's
+// "BMP24" tile format): 14-byte file header + BITMAPINFOHEADER, BGR(A)
+// rows padded to 4 bytes, bottom-up unless the height field is negative.
+bool decode_bmp(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
+                int* w, int* h) {
+  if (len < 54 || data[0] != 'B' || data[1] != 'M') return false;
+  uint32_t pix_off, hdr_size, compression;
+  int32_t bw, bh;
+  uint16_t bpp;
+  std::memcpy(&pix_off, data + 10, 4);
+  std::memcpy(&hdr_size, data + 14, 4);
+  std::memcpy(&bw, data + 18, 4);
+  std::memcpy(&bh, data + 22, 4);
+  std::memcpy(&bpp, data + 28, 2);
+  std::memcpy(&compression, data + 30, 4);
+  if (hdr_size < 40 || compression != 0 || (bpp != 24 && bpp != 32))
+    return false;
+  const bool top_down = bh < 0;
+  const int64_t ah = top_down ? -(int64_t)bh : (int64_t)bh;
+  if (bw <= 0 || ah <= 0 || bw > (1 << 20) || ah > (1 << 20)) return false;
+  const size_t bytes_px = bpp / 8;
+  const size_t stride = ((size_t)bw * bytes_px + 3) & ~(size_t)3;
+  if ((size_t)pix_off + stride * (size_t)ah > len) return false;
+  *w = (int)bw;
+  *h = (int)ah;
+  rgb->resize((size_t)bw * ah * 3);
+  for (int64_t y = 0; y < ah; ++y) {
+    const uint8_t* src =
+        data + pix_off + stride * (top_down ? y : ah - 1 - y);
+    uint8_t* dst = rgb->data() + (size_t)y * bw * 3;
+    for (int64_t x = 0; x < bw; ++x) {
+      dst[0] = src[2];  // BGR(A) → RGB
+      dst[1] = src[1];
+      dst[2] = src[0];
+      src += bytes_px;
+      dst += 3;
+    }
+  }
+  return true;
+}
+
+// Dispatch a stored tile image on its magic bytes.  Real MIRAX containers
+// declare one IMAGE_FORMAT per zoom level, but sniffing keeps decode
+// correct even for mixed or mislabeled data files.
+bool decode_tile_image(const uint8_t* data, size_t len,
+                       std::vector<uint8_t>* rgb, int* w, int* h) {
+  if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return decode_jpeg(data, len, rgb, w, h);
+  if (len >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' &&
+      data[3] == 'G')
+    return decode_png(data, len, rgb, w, h);
+  if (len >= 2 && data[0] == 'B' && data[1] == 'M')
+    return decode_bmp(data, len, rgb, w, h);
+  return false;
 }
 
 std::string trim(const std::string& s) {
@@ -458,14 +536,14 @@ MiraxSlide* MiraxSlide::open(const char* path) {
     const std::string sec = ini_get(ini, hsec, key);
     if (sec.empty()) break;  // fewer sections than advertised
     const std::string fmt = ini_get(ini, sec, "IMAGE_FORMAT", "JPEG");
-    if (fmt != "JPEG") {
+    if (fmt != "JPEG" && fmt != "PNG" && fmt != "BMP24" && fmt != "BMP32") {
       if (lvl == 0) {
         set_wsi_error("MIRAX: IMAGE_FORMAT '" + fmt +
-                      "' not supported (JPEG only)");
+                      "' not supported (JPEG/PNG/BMP24 only)");
         delete s;
         return nullptr;
       }
-      break;  // skip non-JPEG overview levels
+      break;  // skip overview levels in formats we cannot decode
     }
     MiraxLevel L;
     const long dig_w = ini_get_int(ini, sec, "DIGITIZER_WIDTH", 0);
@@ -637,7 +715,7 @@ bool MiraxSlide::read_tile_rgb(const MiraxTile& t, std::vector<uint8_t>* rgb,
   if (fseeko(df, (off_t)t.offset, SEEK_SET) != 0 ||
       std::fread(raw.data(), 1, raw.size(), df) != raw.size())
     return false;
-  return decode_jpeg(raw.data(), raw.size(), rgb, tw, th);
+  return decode_tile_image(raw.data(), raw.size(), rgb, tw, th);
 }
 
 void MiraxSlide::blit(const std::vector<uint8_t>& rgb, int tw, int th,

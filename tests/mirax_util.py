@@ -9,9 +9,9 @@ The generated profile mirrors the documented MIRAX layout: camera grid
 IMAGENUMBER_X/Y split into ``divisions``² stored tiles per camera, overlap
 between cameras, hierarchical index records of (image_index, offset, length,
 fileno) data pages, and a VIMSLIDE_POSITION_BUFFER of 9-byte
-(flag, int32 x, int32 y) camera entries.  Tiles are written with JPEG
-quality 100 and no chroma subsampling so constant-color tiles decode
-bit-exactly.
+(flag, int32 x, int32 y) camera entries.  Tiles are written in
+``tile_format`` — JPEG (quality 100, no chroma subsampling, so
+constant-color tiles decode bit-exactly), PNG or BMP24 (both lossless).
 """
 
 import io
@@ -23,9 +23,16 @@ import numpy as np
 from PIL import Image
 
 
-def _jpeg_bytes(arr: np.ndarray) -> bytes:
+def _tile_bytes(arr: np.ndarray, fmt: str) -> bytes:
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, "JPEG", quality=100, subsampling=0)
+    if fmt == "JPEG":
+        Image.fromarray(arr).save(buf, "JPEG", quality=100, subsampling=0)
+    elif fmt == "PNG":
+        Image.fromarray(arr).save(buf, "PNG")
+    elif fmt == "BMP24":
+        Image.fromarray(arr).save(buf, "BMP")  # 24-bit BI_RGB, bottom-up
+    else:
+        raise ValueError(f"unsupported fixture tile format {fmt!r}")
     return buf.getvalue()
 
 
@@ -54,6 +61,7 @@ def write_mirax(
     mpp: float = 0.25,
     fill_bgr: int = 0xFFFFFF,
     drop_tiles: set[tuple[int, int]] | None = None,
+    tile_format: str = "JPEG",
 ) -> None:
     """Write ``arr`` (H×W×3 uint8 covering the camera-grid extent) as a
     synthetic .mrxs slide at ``path`` (e.g. ``tmp/slide.mrxs``)."""
@@ -109,7 +117,7 @@ def write_mirax(
                 if lvl == 0 and (gx, gy) in drop_tiles:
                     continue
                 ax, ay = tile_anchor(gx * concat, gy * concat)
-                jpg = _jpeg_bytes(crop(ax, ay, tile, concat))
+                jpg = _tile_bytes(crop(ax, ay, tile, concat), tile_format)
                 # index on the LEVEL-0 image grid at every zoom level (the
                 # OpenSlide .mrxs convention the native reader decodes)
                 index0 = (gy * concat) * nx + (gx * concat)
@@ -220,7 +228,7 @@ def write_mirax(
             f"DIGITIZER_HEIGHT = {cam}",
             f"OVERLAP_X = {float(overlap * 2**lvl)}",
             f"OVERLAP_Y = {float(overlap * 2**lvl)}",
-            "IMAGE_FORMAT = JPEG",
+            f"IMAGE_FORMAT = {tile_format}",
             f"IMAGE_FILL_COLOR_BGR = {fill_bgr}",
             f"MICROMETER_PER_PIXEL_X = {mpp * 2**lvl}",
             f"MICROMETER_PER_PIXEL_Y = {mpp * 2**lvl}",

@@ -437,6 +437,27 @@ def test_mirax_exact_reads(tmp_path, divisions, overlap):
     assert (oob[:, 8:, :3] == 255).all()
 
 
+@pytest.mark.parametrize("tile_format", ["PNG", "BMP24"])
+def test_mirax_png_bmp_tiles_bit_exact(tmp_path, tile_format):
+    """PNG and BMP24 tile containers (the two other IMAGE_FORMATs real
+    scanners emit) decode; lossless codecs make the read bit-exact."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from mirax_util import write_mirax
+
+    tile = 32
+    rng = np.random.default_rng(7)
+    # per-pixel noise — only a lossless tile codec survives this exactly
+    arr = rng.integers(0, 255, (2 * tile, 3 * tile, 3), dtype=np.uint8)
+    path = tmp_path / "slide.mrxs"
+    write_mirax(path, arr, tile=tile, tile_format=tile_format, n_levels=1)
+
+    slide = open_slide(path)
+    assert slide.dimensions == (arr.shape[1], arr.shape[0])
+    region = np.array(slide.read_region((9, 7), 0, (77, 41)))[:, :, :3]
+    np.testing.assert_array_equal(region, arr[7:48, 9:86])
+
+
 @pytest.mark.parametrize("jitter", [(3, 2), (28, 15)])
 def test_mirax_position_buffer_jitter(tmp_path, jitter):
     """Camera positions come from the position buffer, not the nominal grid —
