@@ -48,12 +48,26 @@ struct ISlide {
 ISlide* open_tiff_slide(const char* path);
 ISlide* open_mirax_slide(const char* path);
 ISlide* open_ndpi_slide(const char* path);  // ≥4 GiB NDPI (wrapped offsets)
+ISlide* open_vms_slide(const char* path);   // Hamamatsu VMS/VMU containers
 
 // Shared libjpeg decode (implemented in mirax.cpp): JPEG bytes → packed
 // RGB.  Returns false on any decode error.
+#include <map>
 #include <vector>
 bool wsi_decode_jpeg(const uint8_t* data, size_t len,
                      std::vector<uint8_t>* rgb, int* w, int* h);
+
+// Shared Windows-INI parser (implemented in mirax.cpp): section → key →
+// value, tolerating a UTF-8 BOM, CRLF endings and ;/# comments.  MIRAX
+// Slidedat.ini and Hamamatsu .vms/.vmu stubs share this grammar.
+using WsiIniMap = std::map<std::string, std::map<std::string, std::string>>;
+bool wsi_parse_ini(const std::string& path, WsiIniMap* out);
+std::string wsi_ini_get(const WsiIniMap& ini, const std::string& sec,
+                        const std::string& key, const std::string& dflt = "");
+long wsi_ini_get_int(const WsiIniMap& ini, const std::string& sec,
+                     const std::string& key, long dflt);
+double wsi_ini_get_double(const WsiIniMap& ini, const std::string& sec,
+                          const std::string& key, double dflt);
 
 // Thread-local human-readable reason for the last open/read failure.
 void set_wsi_error(const std::string& msg);

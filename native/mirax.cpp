@@ -831,3 +831,21 @@ bool wsi_decode_jpeg(const uint8_t* data, size_t len,
                      std::vector<uint8_t>* rgb, int* w, int* h) {
   return decode_jpeg(data, len, rgb, w, h);
 }
+
+// Public INI helpers shared with the Hamamatsu backend (islide.h); the
+// anonymous-namespace implementations above stay the single source.
+bool wsi_parse_ini(const std::string& path, WsiIniMap* out) {
+  return parse_ini(path, out);
+}
+std::string wsi_ini_get(const WsiIniMap& ini, const std::string& sec,
+                        const std::string& key, const std::string& dflt) {
+  return ini_get(ini, sec, key, dflt);
+}
+long wsi_ini_get_int(const WsiIniMap& ini, const std::string& sec,
+                     const std::string& key, long dflt) {
+  return ini_get_int(ini, sec, key, dflt);
+}
+double wsi_ini_get_double(const WsiIniMap& ini, const std::string& sec,
+                          const std::string& key, double dflt) {
+  return ini_get_double(ini, sec, key, dflt);
+}

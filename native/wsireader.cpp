@@ -335,6 +335,8 @@ extern "C" {
 void* wsi_open(const char* path) {
   set_wsi_error("");
   if (has_suffix_ci(path, ".mrxs")) return open_mirax_slide(path);
+  if (has_suffix_ci(path, ".vms") || has_suffix_ci(path, ".vmu"))
+    return open_vms_slide(path);
   if (has_suffix_ci(path, ".ndpi")) {
     // classic-TIFF NDPI files over 4 GiB carry wrapped 32-bit offsets that
     // libtiff mis-reads; route them to the offset-reconstructing backend

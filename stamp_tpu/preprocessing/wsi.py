@@ -46,15 +46,19 @@ class UnsupportedFormatError(Exception):
     The reference opens 12 formats through OpenSlide (reference
     preprocessing/__init__.py:43-56); the TPU-native reader covers the
     TIFF family (SVS incl. JPEG2000, generic pyramidal TIFF, NDPI, QPTIFF,
-    BIF, SCN), 3DHISTECH MIRAX (.mrxs, native/mirax.cpp) plus anything PIL
-    can open.  Zeiss (.czi) and Hamamatsu VMS/VMU are multi-file vendor
-    containers that are not implemented — failing fast with this error
-    beats a cryptic per-slide stack trace.
+    BIF, SCN), 3DHISTECH MIRAX (.mrxs, native/mirax.cpp), Hamamatsu
+    VMS/VMU (native/vms.cpp) plus anything PIL can open.  Zeiss (.czi) is
+    the one remaining vendor container that is not implemented — failing
+    fast with this error beats a cryptic per-slide stack trace.
     """
 
 
 # multi-file vendor containers the native reader does not implement
-UNSUPPORTED_CONTAINER_SUFFIXES = {".czi", ".vms", ".vmu"}
+UNSUPPORTED_CONTAINER_SUFFIXES = {".czi"}
+
+# multi-file vendor containers handled entirely by the native reader
+# (no single-file magic to sniff, no PIL fallback)
+_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu"}
 
 
 class ImageSlide:
@@ -366,12 +370,12 @@ def open_slide(path: Path | str):
             "supported by the TPU-native reader — convert to pyramidal "
             "TIFF/SVS, or extract this cohort with the reference pipeline."
         )
-    if suffix == ".mrxs":
-        # MIRAX: multi-file container handled entirely by the native reader
-        # (native/mirax.cpp); there is no PIL fallback for it.
+    if suffix in _NATIVE_CONTAINER_SUFFIXES:
+        # MIRAX / Hamamatsu VMS/VMU: multi-file containers handled entirely
+        # by the native reader (native/{mirax,vms}.cpp); no PIL fallback.
         if _load_native() is None:
             raise UnsupportedFormatError(
-                f"{path.name}: MIRAX slides need the native reader "
+                f"{path.name}: {suffix} slides need the native reader "
                 "(build native/ with `make`)."
             )
         try:

@@ -279,10 +279,17 @@ def test_ndpi_like_slide_reads_exactly(tmp_path):
 def test_unsupported_container_raises_named_error(tmp_path):
     from stamp_tpu.preprocessing.wsi import UnsupportedFormatError, open_slide
 
-    for suffix in (".czi", ".vms", ".vmu"):
+    p = tmp_path / "slide.czi"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(UnsupportedFormatError, match="not"):
+        open_slide(p)
+
+    # Hamamatsu stubs are supported now (native/vms.cpp); a garbage stub
+    # still fails loudly with the missing-section reason
+    for suffix in (".vms", ".vmu"):
         p = tmp_path / f"slide{suffix}"
         p.write_bytes(b"\x00" * 16)
-        with pytest.raises(UnsupportedFormatError, match="not"):
+        with pytest.raises(UnsupportedFormatError, match="specimen section"):
             open_slide(p)
 
     # a stray .mrxs without its data directory is named loudly too
