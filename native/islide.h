@@ -49,6 +49,10 @@ ISlide* open_tiff_slide(const char* path);
 ISlide* open_mirax_slide(const char* path);
 ISlide* open_ndpi_slide(const char* path);  // ≥4 GiB NDPI (wrapped offsets)
 ISlide* open_vms_slide(const char* path);   // Hamamatsu VMS/VMU containers
+// NDPI with JPEG levels beyond the 65535-px SOF limit (restart-marker
+// reconstruction).  *applicable=false ⇒ not such a file, fall through.
+ISlide* open_ndpi_huge_slide(const char* path, bool* applicable);
+ISlide* open_czi_slide(const char* path);   // Zeiss ZISRAW containers
 
 // Shared libjpeg decode (implemented in mirax.cpp): JPEG bytes → packed
 // RGB.  Returns false on any decode error.

@@ -73,6 +73,10 @@ bool RtJpeg::parse_header(const std::vector<uint8_t>& head, std::string* err) {
         }
         height_ = be16(seg + 1);
         width_ = be16(seg + 3);
+        // Hamamatsu stores zeros for levels beyond JPEG's 65535-px field
+        // limit; the container supplies the true dimensions as hints.
+        if (height_ == 0 && h_hint_ > 0) height_ = h_hint_;
+        if (width_ == 0 && w_hint_ > 0) width_ = w_hint_;
         sof_dims_off_ = pos + 4 + 1;
         const int ncomp = seg[5];
         if (seg_len < (size_t)8 + 3 * (ncomp - 1) + 1) {
@@ -112,9 +116,9 @@ bool RtJpeg::parse_header(const std::vector<uint8_t>& head, std::string* err) {
         mcu_w_ = 8 * max_h;
         mcu_h_ = 8 * max_v;
         if (width_ <= 0 || height_ <= 0) {
-          // NDPI >65500 px streams store 0 here; the caller may patch
-          // dimensions via set_dimensions before scanning (future use).
-          *err = "SOF carries zero dimensions";
+          // NDPI >65500 px streams store 0 here; open_span callers must
+          // pass the container's dimensions as hints.
+          *err = "SOF carries zero dimensions and no hint was given";
           return false;
         }
         mcus_per_row_ = (width_ + mcu_w_ - 1) / mcu_w_;
@@ -169,8 +173,17 @@ bool RtJpeg::scan_entropy(std::string* err) {
   bool pending_ff = false;
   bool done = false;
   while (!done) {
-    const size_t n = std::fread(buf.data(), 1, buf.size(), f_);
+    size_t want = buf.size();
+    if (span_end_ >= 0 && pos + (int64_t)want > span_end_)
+      want = (size_t)std::max<int64_t>(span_end_ - pos, 0);
+    const size_t n = want ? std::fread(buf.data(), 1, want, f_) : 0;
     if (n == 0) {
+      // Embedded streams may end at the container's span boundary with no
+      // EOI — accept that as the end of the final chunk.
+      if ((int64_t)ends_.size() + 1 == (int64_t)starts_.size()) {
+        ends_.push_back(pending_ff ? pos - 1 : pos);
+        break;
+      }
       *err = "entropy stream ended without EOI";
       return false;
     }
@@ -207,16 +220,32 @@ bool RtJpeg::scan_entropy(std::string* err) {
 }
 
 bool RtJpeg::open(const std::string& path, std::string* err) {
+  return open_span(path, 0, -1, 0, 0, err);
+}
+
+bool RtJpeg::open_span(const std::string& path, int64_t offset, int64_t length,
+                       int64_t w_hint, int64_t h_hint, std::string* err) {
   f_ = std::fopen(path.c_str(), "rb");
   if (!f_) {
     *err = "cannot open " + path;
     return false;
   }
+  span_off_ = offset;
+  span_end_ = length < 0 ? -1 : offset + length;
+  w_hint_ = w_hint;
+  h_hint_ = h_hint;
+  if (fseeko(f_, (off_t)offset, SEEK_SET) != 0) {
+    *err = "seek to embedded stream failed";
+    return false;
+  }
   // Headers of real scanner files fit well inside 1 MiB (DQT/DHT/APPn).
-  std::vector<uint8_t> head(1 << 20);
+  size_t head_len = 1 << 20;
+  if (length >= 0 && (int64_t)head_len > length) head_len = (size_t)length;
+  std::vector<uint8_t> head(head_len);
   const size_t n = std::fread(head.data(), 1, head.size(), f_);
   head.resize(n);
   if (!parse_header(head, err)) return false;
+  entropy_start_ += span_off_;  // parse_header records span-relative
   return scan_entropy(err);
 }
 

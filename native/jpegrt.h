@@ -38,6 +38,16 @@ struct RtJpeg {
   // Parse + scan `path`.  On failure returns false and sets *err.
   bool open(const std::string& path, std::string* err);
 
+  // Same, but for a JPEG stream embedded at [offset, offset+length) of a
+  // container file (e.g. an NDPI strip).  `w_hint`/`h_hint` supply the
+  // image dimensions when the SOF stores zeros — Hamamatsu's convention
+  // for levels exceeding JPEG's 65535-px field limit, where the true
+  // dimensions live in the TIFF tags instead.  A stream that ends at the
+  // span boundary without an EOI marker is accepted (the last chunk ends
+  // at the boundary).  length < 0 means "to end of file".
+  bool open_span(const std::string& path, int64_t offset, int64_t length,
+                 int64_t w_hint, int64_t h_hint, std::string* err);
+
   int64_t width() const { return width_; }
   int64_t height() const { return height_; }
   // chunk grid (see header comment)
@@ -59,6 +69,8 @@ struct RtJpeg {
   bool scan_entropy(std::string* err);
 
   FILE* f_ = nullptr;
+  int64_t span_off_ = 0, span_end_ = -1;  // stream bounds (-1 = file end)
+  int64_t w_hint_ = 0, h_hint_ = 0;       // dims when SOF stores zeros
   int64_t width_ = 0, height_ = 0;
   int32_t mcu_w_ = 0, mcu_h_ = 0;        // MCU pixel size (8·max sampling)
   int64_t mcus_per_row_ = 0, mcu_rows_ = 0;

@@ -17,10 +17,10 @@
 // next-IFD pointers, strip offsets, and out-of-line tag values.
 //
 // Decoding profile: strip-organized levels, uncompressed (PackBits-free)
-// or JPEG strips with valid JPEG dimensions.  Real scanner levels wider
-// than 65500 px store JPEG streams with zeroed dimension fields that only
-// restart-marker reconstruction can decode — those fail with a named
-// error naming this limitation rather than producing garbage.
+// or JPEG strips.  Levels wider/taller than JPEG's 65535-px SOF fields
+// (ubiquitous in real ≥4 GiB scans) store zeroed dimensions and decode
+// through restart-marker reconstruction (jpegrt.h) against the fixed-up
+// strip offsets — the same mechanism ndpihuge.cpp uses for smaller files.
 
 #include "islide.h"
 
@@ -29,10 +29,16 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
+#include "jpegrt.h"
+#include "rtutil.h"
+
 namespace {
+
+constexpr int64_t kJpegDimLimit = 65500;
 
 constexpr uint64_t kWindow = 1ull << 32;
 
@@ -101,6 +107,12 @@ struct NdpiDir {
   std::string description;
   std::vector<uint64_t> strip_offsets;
   std::vector<uint64_t> strip_counts;
+
+  // restart-marker reconstruction state for levels beyond the JPEG SOF
+  // dimension limit (lazy; scanned on the level's first read)
+  bool huge_jpeg = false;
+  std::unique_ptr<RtJpeg> jpeg;
+  bool jpeg_failed = false;
 };
 
 class NdpiSlide : public ISlide {
@@ -122,18 +134,69 @@ class NdpiSlide : public ISlide {
   const std::string& description() const override { return description_; }
   double mpp() const override { return mpp_; }
 
+  int64_t decode_errors() const override { return decode_errors_; }
+
   int32_t read_region(int64_t x, int64_t y, int64_t w, int64_t h,
                       void* out) override {
     return read_from_level(levels_[0], x, y, w, h, (uint8_t*)out);
   }
   int32_t read_level(int32_t l, void* out) override {
     if (!valid(l)) return 1;
-    const NdpiDir& d = levels_[l];
+    NdpiDir& d = levels_[l];
     return read_from_level(d, 0, 0, d.width, d.height, (uint8_t*)out);
   }
 
  private:
+  NdpiSlide() : cache_(128u << 20) {}
+
   bool valid(int32_t l) const { return l >= 0 && l < (int32_t)levels_.size(); }
+
+  // Chunked read of a huge-JPEG level via restart-marker reconstruction.
+  int32_t read_huge(NdpiDir& d, int64_t x, int64_t y, int64_t w, int64_t h,
+                    uint8_t* out) {
+    if (!d.jpeg && !d.jpeg_failed) {
+      auto j = std::make_unique<RtJpeg>();
+      std::string err;
+      if (!j->open_span(path_, (int64_t)d.strip_offsets[0],
+                        (int64_t)d.strip_counts[0], d.width, d.height,
+                        &err)) {
+        set_wsi_error("NDPI huge level: " + err);
+        d.jpeg_failed = true;
+      } else {
+        d.jpeg = std::move(j);
+      }
+    }
+    if (!d.jpeg) return 5;
+    RtJpeg& j = *d.jpeg;
+    const int64_t x0 = std::max<int64_t>(0, x);
+    const int64_t y0 = std::max<int64_t>(0, y);
+    const int64_t x1 = std::min<int64_t>(d.width, x + w);
+    const int64_t y1 = std::min<int64_t>(d.height, y + h);
+    if (x0 >= x1 || y0 >= y1) return 0;
+    for (int32_t cy = (int32_t)(y0 / j.chunk_h());
+         cy <= (int32_t)((y1 - 1) / j.chunk_h()); ++cy) {
+      for (int32_t cx = (int32_t)(x0 / j.chunk_w());
+           cx <= (int32_t)((x1 - 1) / j.chunk_w()); ++cx) {
+        const uint64_t key = ((uint64_t)d.diroff << 32) ^
+                             ((uint64_t)(uint32_t)cy << 20) ^ (uint32_t)cx;
+        const std::vector<uint8_t>* rgb = cache_.get(key);
+        if (!rgb) {
+          std::vector<uint8_t> dec;
+          if (!j.decode_chunk(cx, cy, &dec)) {
+            ++decode_errors_;
+            set_wsi_error(
+                "NDPI: undecodable restart chunk, rendered as background");
+            continue;  // background stays — resilience over abort
+          }
+          rgb = cache_.put(key, std::move(dec));
+        }
+        wsi_blit_rgb(rgb->data(), j.chunk_px_w(cx), j.chunk_px_h(cy),
+                     (int64_t)cx * j.chunk_w(), (int64_t)cy * j.chunk_h(),
+                     x, y, w, h, out);
+      }
+    }
+    return 0;
+  }
 
   // Decode strip `s` of level `d` into packed RGB rows (full width).
   bool decode_strip(const NdpiDir& d, size_t s, std::vector<uint8_t>* rgb,
@@ -162,9 +225,7 @@ class NdpiSlide : public ISlide {
     if (d.compression == 6 || d.compression == 7) {
       int jw = 0, jh = 0;
       if (!wsi_decode_jpeg(raw.data(), raw.size(), rgb, &jw, &jh)) {
-        return fail(
-            "undecodable NDPI JPEG strip (levels wider than 65500 px need "
-            "restart-marker reconstruction, which is not implemented)");
+        return fail("undecodable NDPI JPEG strip");
       }
       if (jw != d.width || jh < *rows) return fail("JPEG strip size mismatch");
       return true;
@@ -173,10 +234,11 @@ class NdpiSlide : public ISlide {
                 std::to_string(d.compression));
   }
 
-  int32_t read_from_level(const NdpiDir& d, int64_t x, int64_t y, int64_t w,
+  int32_t read_from_level(NdpiDir& d, int64_t x, int64_t y, int64_t w,
                           int64_t h, uint8_t* out) {
-    std::memset(out, 0xFF, (size_t)w * h * 4);  // background = white
-    for (size_t i = 0; i < (size_t)w * h; ++i) out[4 * i + 3] = 0xFF;
+    if (!out || w <= 0 || h <= 0) return 1;
+    wsi_fill_white(out, w * h);  // background = opaque white
+    if (d.huge_jpeg) return read_huge(d, x, y, w, h, out);
 
     const int64_t x0 = std::max<int64_t>(x, 0), x1 = std::min(x + w, d.width);
     const int64_t y0 = std::max<int64_t>(y, 0), y1 = std::min(y + h, d.height);
@@ -211,9 +273,12 @@ class NdpiSlide : public ISlide {
   }
 
   FILE* f_ = nullptr;
+  std::string path_;
   std::vector<NdpiDir> levels_;  // sorted by width, descending
   std::string description_;
   double mpp_ = -1.0;
+  int64_t decode_errors_ = 0;
+  WsiChunkCache cache_;
 };
 
 // Read one numeric value of `type` from a byte buffer.
@@ -330,6 +395,11 @@ NdpiSlide* NdpiSlide::open(const char* path) {
     if (d.rows_per_strip == 0) d.rows_per_strip = d.height;
     if (d.width > 0 && d.height > 0 && !d.strip_offsets.empty() &&
         d.strip_offsets.size() == d.strip_counts.size()) {
+      // single-strip JPEG level past the SOF dimension fields ⇒ zeroed SOF
+      // dims, restart-marker reconstruction (read_huge) instead of strips
+      d.huge_jpeg = (d.compression == 6 || d.compression == 7) &&
+                    d.strip_offsets.size() == 1 &&
+                    (d.width > kJpegDimLimit || d.height > kJpegDimLimit);
       dirs.push_back(std::move(d));
     }
     diroff = next_stored ? fix_offset(diroff, next_stored) : 0;
@@ -348,6 +418,7 @@ NdpiSlide* NdpiSlide::open(const char* path) {
 
   NdpiSlide* s = new NdpiSlide();
   s->f_ = f;
+  s->path_ = path;
   s->levels_ = std::move(dirs);
   s->description_ = description;
   const NdpiDir& l0 = s->levels_[0];

@@ -31,84 +31,19 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <list>
-#include <map>
 #include <memory>
 #include <string>
 #include <vector>
 
 #include "islide.h"
 #include "jpegrt.h"
+#include "rtutil.h"
 
 namespace {
 
 std::string dir_of(const std::string& path) {
   const size_t slash = path.find_last_of('/');
   return slash == std::string::npos ? std::string(".") : path.substr(0, slash);
-}
-
-// Decoded-chunk LRU so raster-order tiling re-reads neighbours for free.
-// Key: (grid cell, chunk index); capacity in bytes.
-class ChunkCache {
- public:
-  explicit ChunkCache(size_t cap) : cap_(cap) {}
-
-  const std::vector<uint8_t>* get(uint64_t key) {
-    auto it = map_.find(key);
-    if (it == map_.end()) return nullptr;
-    order_.splice(order_.begin(), order_, it->second.first);
-    return &it->second.second;
-  }
-
-  const std::vector<uint8_t>* put(uint64_t key, std::vector<uint8_t>&& rgb) {
-    bytes_ += rgb.size();
-    order_.push_front(key);
-    auto& slot = map_[key];
-    slot.first = order_.begin();
-    slot.second = std::move(rgb);
-    while (bytes_ > cap_ && order_.size() > 1) {
-      const uint64_t victim = order_.back();
-      order_.pop_back();
-      auto v = map_.find(victim);
-      bytes_ -= v->second.second.size();
-      map_.erase(v);
-    }
-    return &map_[key].second;
-  }
-
- private:
-  size_t cap_, bytes_ = 0;
-  std::list<uint64_t> order_;
-  std::map<uint64_t, std::pair<std::list<uint64_t>::iterator,
-                               std::vector<uint8_t>>>
-      map_;
-};
-
-void fill_white(uint8_t* dst, int64_t n_px) {
-  std::memset(dst, 0xFF, (size_t)n_px * 4);
-}
-
-// Copy an RGB tile (tw×th at level-0 position tile_x/tile_y) into the RGBA
-// window (ox,oy,out_w,out_h), clipping both ways.
-void blit_rgb(const uint8_t* rgb, int64_t tw, int64_t th, int64_t tile_x,
-              int64_t tile_y, int64_t ox, int64_t oy, int64_t out_w,
-              int64_t out_h, uint8_t* out) {
-  const int64_t x0 = std::max(tile_x, ox);
-  const int64_t y0 = std::max(tile_y, oy);
-  const int64_t x1 = std::min(tile_x + tw, ox + out_w);
-  const int64_t y1 = std::min(tile_y + th, oy + out_h);
-  for (int64_t iy = y0; iy < y1; ++iy) {
-    const uint8_t* src = rgb + ((iy - tile_y) * tw + (x0 - tile_x)) * 3;
-    uint8_t* dst = out + ((iy - oy) * out_w + (x0 - ox)) * 4;
-    for (int64_t ix = x0; ix < x1; ++ix) {
-      dst[0] = src[0];
-      dst[1] = src[1];
-      dst[2] = src[2];
-      dst[3] = 0xFF;
-      src += 3;
-      dst += 4;
-    }
-  }
 }
 
 // ---------------------------------------------------------------------------
@@ -156,7 +91,7 @@ class VmsSlide : public ISlide {
   int64_t decode_errors_ = 0;
   int32_t cols_ = 1, rows_ = 1;
   std::vector<Cell> cells_;  // row-major cols_×rows_
-  ChunkCache cache_;
+  WsiChunkCache cache_;
 };
 
 const std::vector<uint8_t>* VmsSlide::chunk(size_t cell, int32_t cx,
@@ -178,7 +113,7 @@ int32_t VmsSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
                               void* out) {
   if (!out || w <= 0 || h <= 0) return 1;
   uint8_t* dst = (uint8_t*)out;
-  fill_white(dst, w * h);
+  wsi_fill_white(dst, w * h);
   for (size_t ci = 0; ci < cells_.size(); ++ci) {
     const Cell& c = cells_[ci];
     RtJpeg& j = *c.jpeg;
@@ -196,7 +131,7 @@ int32_t VmsSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
       for (int32_t cx = cx0; cx <= cx1; ++cx) {
         const auto* rgb = chunk(ci, cx, cy);
         if (!rgb) continue;  // fill color stays — resilience over abort
-        blit_rgb(rgb->data(), j.chunk_px_w(cx), j.chunk_px_h(cy),
+        wsi_blit_rgb(rgb->data(), j.chunk_px_w(cx), j.chunk_px_h(cy),
                  c.x + (int64_t)cx * j.chunk_w(),
                  c.y + (int64_t)cy * j.chunk_h(), x, y, w, h, dst);
       }
@@ -221,8 +156,8 @@ int32_t VmsSlide::read_level(int32_t level, void* out) {
   if (!wsi_decode_jpeg(raw.data(), raw.size(), &rgb, &mw, &mh) ||
       mw != map_w_ || mh != map_h_)
     return 3;
-  fill_white((uint8_t*)out, map_w_ * map_h_);
-  blit_rgb(rgb.data(), mw, mh, 0, 0, 0, 0, map_w_, map_h_, (uint8_t*)out);
+  wsi_fill_white((uint8_t*)out, map_w_ * map_h_);
+  wsi_blit_rgb(rgb.data(), mw, mh, 0, 0, 0, 0, map_w_, map_h_, (uint8_t*)out);
   return 0;
 }
 
@@ -362,7 +297,7 @@ int32_t VmuSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
                               void* out) {
   if (!out || w <= 0 || h <= 0) return 1;
   uint8_t* dst = (uint8_t*)out;
-  fill_white(dst, w * h);
+  wsi_fill_white(dst, w * h);
   const int64_t x0 = std::max<int64_t>(0, x);
   const int64_t y0 = std::max<int64_t>(0, y);
   const int64_t x1 = std::min(width_, x + w);

@@ -337,6 +337,7 @@ void* wsi_open(const char* path) {
   if (has_suffix_ci(path, ".mrxs")) return open_mirax_slide(path);
   if (has_suffix_ci(path, ".vms") || has_suffix_ci(path, ".vmu"))
     return open_vms_slide(path);
+  if (has_suffix_ci(path, ".czi")) return open_czi_slide(path);
   if (has_suffix_ci(path, ".ndpi")) {
     // classic-TIFF NDPI files over 4 GiB carry wrapped 32-bit offsets that
     // libtiff mis-reads; route them to the offset-reconstructing backend
@@ -352,6 +353,11 @@ void* wsi_open(const char* path) {
       std::fclose(probe);
       if (size >= (int64_t)1 << 32) return open_ndpi_slide(path);
     }
+    // levels beyond JPEG's 65535-px SOF limit need restart-marker
+    // reconstruction (ndpihuge.cpp); ordinary files fall through
+    bool applicable = false;
+    ISlide* s = open_ndpi_huge_slide(path, &applicable);
+    if (applicable) return s;  // may be nullptr on a real error
   }
   return open_tiff_slide(path);
 }

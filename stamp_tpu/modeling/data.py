@@ -351,14 +351,14 @@ def _clini_ground_truths(
 
 def load_patient_level_data(
     *,
-    task: Task | None,
     clini_table: Path,
     feature_dir: Path,
+    task: Task | None,
     patient_label: PandasLabel,
-    ground_truth_label: PandasLabel | Sequence[PandasLabel] | None = None,
-    time_label: PandasLabel | None = None,
-    status_label: PandasLabel | None = None,
     feature_ext: str = ".h5",
+    ground_truth_label: PandasLabel | Sequence[PandasLabel] | None = None,
+    status_label: PandasLabel | None = None,
+    time_label: PandasLabel | None = None,
 ) -> dict[PatientId, PatientData]:
     """Patient-level features carry no slide table: each clini-table patient
     maps directly to ``<feature_dir>/<patient_id>.h5`` (behavior of

@@ -47,18 +47,20 @@ class UnsupportedFormatError(Exception):
     preprocessing/__init__.py:43-56); the TPU-native reader covers the
     TIFF family (SVS incl. JPEG2000, generic pyramidal TIFF, NDPI, QPTIFF,
     BIF, SCN), 3DHISTECH MIRAX (.mrxs, native/mirax.cpp), Hamamatsu
-    VMS/VMU (native/vms.cpp) plus anything PIL can open.  Zeiss (.czi) is
-    the one remaining vendor container that is not implemented — failing
-    fast with this error beats a cryptic per-slide stack trace.
+    VMS/VMU (native/vms.cpp), Zeiss CZI (.czi, native/czi.cpp — JPEG-XR
+    subblocks excepted, no codec in this image) plus anything PIL can
+    open.  This error names the gap instead of a cryptic per-slide stack
+    trace.
     """
 
 
-# multi-file vendor containers the native reader does not implement
-UNSUPPORTED_CONTAINER_SUFFIXES = {".czi"}
+# vendor containers the native reader does not implement (none today; kept
+# for the error path should a format regress to unsupported)
+UNSUPPORTED_CONTAINER_SUFFIXES: set[str] = set()
 
-# multi-file vendor containers handled entirely by the native reader
+# vendor containers handled entirely by the native reader
 # (no single-file magic to sniff, no PIL fallback)
-_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu"}
+_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu", ".czi"}
 
 
 class ImageSlide:
@@ -371,8 +373,8 @@ def open_slide(path: Path | str):
             "TIFF/SVS, or extract this cohort with the reference pipeline."
         )
     if suffix in _NATIVE_CONTAINER_SUFFIXES:
-        # MIRAX / Hamamatsu VMS/VMU: multi-file containers handled entirely
-        # by the native reader (native/{mirax,vms}.cpp); no PIL fallback.
+        # MIRAX / Hamamatsu VMS/VMU / Zeiss CZI: vendor containers handled
+        # entirely by the native reader (native/{mirax,vms,czi}.cpp).
         if _load_native() is None:
             raise UnsupportedFormatError(
                 f"{path.name}: {suffix} slides need the native reader "

@@ -46,11 +46,11 @@ def _tile_attrs(
 def create_random_feature_file(
     *,
     tmp_path: Path,
+    feat_dim: int,
     min_tiles: int,
     max_tiles: int,
-    feat_dim: int,
-    tile_size_um: Microns = Microns(256),
     tile_size_px: TilePixels = TilePixels(224),
+    tile_size_um: Microns = Microns(256),
     extractor_name: str = "random-test-generator",
     feat_filename: str | None = None,
     coords: np.ndarray | None = None,
@@ -198,15 +198,15 @@ def _survival_row() -> tuple[float, int]:
 def create_random_dataset(
     *,
     dir: Path,
+    feat_dim: int,
     n_patients: int,
+    min_slides_per_patient: int = 1,
     max_slides_per_patient: int,
     min_tiles_per_slide: int,
     max_tiles_per_slide: int,
-    feat_dim: int,
-    categories: Sequence[str] | None = None,
     n_categories: int | None = None,
+    categories: Sequence[str] | None = None,
     extractor_name: str = "random-test-generator",
-    min_slides_per_patient: int = 1,
 ) -> tuple[CliniPath, SlidePath, FeatureDir, Sequence[str]]:
     categories = _resolve_categories(categories, n_categories)
     paths = _write_slide_cohort(
@@ -321,10 +321,10 @@ def create_random_multi_target_dataset(
 def create_random_patient_level_dataset(
     *,
     dir: Path,
-    n_patients: int,
     feat_dim: int,
-    categories: Sequence[str] | None = None,
+    n_patients: int,
     n_categories: int | None = None,
+    categories: Sequence[str] | None = None,
 ) -> tuple[Path, Path, Path, Sequence[str]]:
     categories = _resolve_categories(categories, n_categories)
     paths = _write_patient_cohort(
@@ -358,10 +358,10 @@ def create_random_patient_level_survival_dataset(
 def create_random_patient_level_regression_dataset(
     *,
     dir: Path,
-    n_patients: int,
     feat_dim: int,
-    extractor_name: str = "random-test-generator",
+    n_patients: int,
     target_range: tuple[float, float] = (0.0, 100.0),
+    extractor_name: str = "random-test-generator",
 ) -> tuple[Path, Path, Path, None]:
     paths = _write_patient_cohort(
         dir,
