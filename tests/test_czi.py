@@ -79,6 +79,52 @@ def test_czi_pyramid_level(czi):
     assert np.mean(np.abs(thumb.astype(int) - ref.astype(int))) < 16
 
 
+def test_czi_corrupt_zstd_payload_is_resilient(tmp_path):
+    """Flipping bytes inside a zstd frame must not abort the slide: the
+    block renders as background, the error counter increments, every other
+    block stays intact."""
+    from stamp_tpu.preprocessing.wsi import _load_native, open_slide
+
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    path = tmp_path / "corrupt.czi"
+    expected, _ = write_czi(path)
+    data = bytearray(path.read_bytes())
+    # the zstd0 block is the second subblock segment; find its frame magic
+    at = data.find(b"\x28\xb5\x2f\xfd")  # zstd frame magic
+    assert at > 0
+    data[at : at + 4] = b"\xde\xad\xbe\xef"  # kill the frame magic
+    path.write_bytes(bytes(data))
+
+    slide = open_slide(path)
+    h, w = expected.shape[:2]
+    full = np.asarray(slide.read_region((0, 0), 0, (w, h)).convert("RGB"))
+    # the uncompressed block (top-left) still decodes exactly
+    np.testing.assert_array_equal(
+        full[:BLOCK_H, :BLOCK_W], expected[:BLOCK_H, :BLOCK_W]
+    )
+    # the corrupted zstd0 block (top-right) is white background
+    assert np.all(full[:BLOCK_H, BLOCK_W:] == 255)
+    assert int(slide._lib.wsi_decode_errors(slide._handle)) >= 1
+
+
+def test_czi_truncated_file_fails_with_named_error(tmp_path):
+    from stamp_tpu.preprocessing.wsi import (
+        UnsupportedFormatError,
+        _load_native,
+        open_slide,
+    )
+
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    path = tmp_path / "trunc.czi"
+    write_czi(path)
+    full = path.read_bytes()
+    path.write_bytes(full[: len(full) // 3])  # cut before the directory
+    with pytest.raises(UnsupportedFormatError, match="(?i)czi"):
+        open_slide(path)
+
+
 def test_czi_jpegxr_block_renders_background_and_counts(tmp_path):
     from stamp_tpu.preprocessing.wsi import _load_native, open_slide
 

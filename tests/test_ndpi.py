@@ -165,6 +165,32 @@ def test_big_huge_ndpi_wrapped_offsets_plus_restart_chunks(tmp_path):
     assert np.all(np.abs(thumb.astype(int) - [60, 170, 110]) < 12)
 
 
+def test_huge_ndpi_truncated_stream_fails_loudly(tmp_path):
+    """A stream cut mid-entropy yields fewer restart chunks than the MCU
+    geometry demands; the scan must reject the level (read error), not
+    return misindexed pixels."""
+    from stamp_tpu.preprocessing.wsi import _load_native, open_slide
+
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    from ndpi_huge_util import write_huge_ndpi
+
+    path = tmp_path / "trunc.ndpi"
+    write_huge_ndpi(path)
+    data = bytearray(path.read_bytes())
+    # zero a wide window in the middle of the huge stream's entropy bytes:
+    # every restart marker inside it disappears, so the scan comes up short
+    soi = bytes(data).find(b"\xff\xd8\xff")
+    assert soi > 0
+    mid = soi + (len(data) - soi) // 2
+    data[mid : mid + 4096] = bytes(4096)
+    path.write_bytes(bytes(data))
+
+    slide = open_slide(path)
+    with pytest.raises(RuntimeError):
+        slide.read_region((0, 0), 0, (256, 8))
+
+
 def test_huge_ndpi_thumbnail_uses_ordinary_level(huge_ndpi):
     from stamp_tpu.preprocessing.wsi import open_slide
 
