@@ -48,7 +48,10 @@ def stripped_lines(path: str) -> list[str]:
         by_line.setdefault(tok.start[0], []).append(tok.string)
     for lineno in sorted(by_line):
         line = " ".join(by_line[lineno]).strip()
-        if line:
+        # Punctuation-only lines (e.g. a bare "," left behind when a string
+        # element was stripped, or a lone closing bracket) match between any
+        # two files and manufacture fake "verbatim runs"; drop them.
+        if line and any(c.isalnum() for c in line):
             out.append(line)
     return out
 
