@@ -189,7 +189,9 @@ bool CziSlide::read_payload(const SubBlock& b, std::vector<uint8_t>* raw) {
   if (dim_count < 0 || dim_count > 64) return false;
   const int64_t entry_size = 32 + 20 * (int64_t)dim_count;
   const int64_t data_off = std::max<int64_t>(256, 16 + entry_size) + meta_size;
-  if (data_size < 0 || data_size > (int64_t)1 << 31) return false;
+  // bound the per-subblock payload: a corrupt directory entry must not be
+  // able to demand a gigabyte zero-filled allocation per render attempt
+  if (data_size < 0 || data_size > (int64_t)256 << 20) return false;
   if (fseeko(f_, (off_t)(b.file_pos + 32 + data_off), SEEK_SET) != 0)
     return false;
   raw->resize((size_t)data_size);
@@ -377,6 +379,10 @@ CziSlide* CziSlide::open(const char* path) {
     }
     pos += 32 + 20 * dim_count;
     if (b.sw <= 0 || b.sh <= 0) continue;
+    // stored size bounds the decode buffers (zstd/to_rgb); corrupt entries
+    // must not be able to demand multi-GiB allocations per subblock
+    if (b.sw > (1 << 20) || b.sh > (1 << 20) || b.sw * b.sh > (int64_t)1 << 26)
+      continue;
     b.ratio = (int32_t)std::llround((double)xsize / (double)b.sw);
     if (b.ratio < 1) b.ratio = 1;
     if (ysize > 0 &&

@@ -50,6 +50,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -67,6 +68,15 @@ struct JpegErrorMgr {
 void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(((JpegErrorMgr*)cinfo->err)->env, 1);
 }
+
+// Decoder output budget.  Corrupt containers can hand a decoder a stream
+// whose header claims up to 65500² px (~13 GB of RGB): libjpeg treats
+// truncated entropy data as a warning, not an error, so it would grind
+// through billions of synthesized scanlines — found by the sanitizer
+// fuzzer (tests/test_native_sanitize.py) as a multi-minute stall on a
+// mutated MIRAX index.  64 Mpx is far above any real tile, strip chunk or
+// overview image these in-container decoders are ever handed.
+constexpr int64_t kMaxDecodePx = int64_t(1) << 26;
 
 // Decode a JPEG byte stream to tightly-packed RGB.  Returns false on any
 // decode error (corrupt stream, wrong format).
@@ -90,6 +100,10 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
   jpeg_start_decompress(&cinfo);
   *w = (int)cinfo.output_width;
   *h = (int)cinfo.output_height;
+  if ((int64_t)*w * *h > kMaxDecodePx) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   rgb->resize((size_t)*w * *h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = rgb->data() + (size_t)cinfo.output_scanline * *w * 3;
@@ -111,6 +125,10 @@ bool decode_png(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
   image.format = PNG_FORMAT_RGB;
   *w = (int)image.width;
   *h = (int)image.height;
+  if ((int64_t)*w * *h > kMaxDecodePx) {
+    png_image_free(&image);
+    return false;
+  }
   rgb->resize(PNG_IMAGE_SIZE(image));
   if (!png_image_finish_read(&image, nullptr, rgb->data(), 0, nullptr)) {
     png_image_free(&image);
@@ -138,7 +156,9 @@ bool decode_bmp(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
     return false;
   const bool top_down = bh < 0;
   const int64_t ah = top_down ? -(int64_t)bh : (int64_t)bh;
-  if (bw <= 0 || ah <= 0 || bw > (1 << 20) || ah > (1 << 20)) return false;
+  if (bw <= 0 || ah <= 0 || bw > (1 << 20) || ah > (1 << 20) ||
+      (int64_t)bw * ah > kMaxDecodePx)
+    return false;
   const size_t bytes_px = bpp / 8;
   const size_t stride = ((size_t)bw * bytes_px + 3) & ~(size_t)3;
   if ((size_t)pix_off + stride * (size_t)ah > len) return false;
@@ -359,7 +379,12 @@ bool MiraxSlide::read_record_pages(
   int32_t zero = 0, page_ptr = 0;
   if (!read_le32(f, &zero) || !read_le32(f, &page_ptr)) return false;
   // `zero` is 0 in every observed file; tolerate other values.
+  // A corrupt `next` pointer can form a cycle in the page chain — found by
+  // the sanitizer fuzzer (tests/test_native_sanitize.py) as an infinite
+  // loop; refuse any page we have already visited.
+  std::set<int32_t> visited;
   while (page_ptr != 0) {
+    if (!visited.insert(page_ptr).second) return false;  // pointer cycle
     if (std::fseek(f, page_ptr, SEEK_SET) != 0) return false;
     int32_t count = 0, next = 0;
     if (!read_le32(f, &count) || !read_le32(f, &next)) return false;
@@ -711,6 +736,11 @@ bool MiraxSlide::read_tile_rgb(const MiraxTile& t, std::vector<uint8_t>* rgb,
                                int* tw, int* th) {
   FILE* df = open_data_file(files_, fnames_, dirname_, t.fileno);
   if (!df) return false;
+  // A corrupt index entry can claim a ~4 GiB tile; allocating (and
+  // zero-filling) it per tile per window turns one bad record into a
+  // minutes-long stall (found by the sanitizer fuzzer).  No real stored
+  // tile image comes anywhere near this bound.
+  if (t.length > (uint32_t)64 << 20) return false;
   std::vector<uint8_t> raw((size_t)t.length);
   if (fseeko(df, (off_t)t.offset, SEEK_SET) != 0 ||
       std::fread(raw.data(), 1, raw.size(), df) != raw.size())

@@ -204,6 +204,9 @@ class NdpiSlide : public ISlide {
     const int64_t first_row = (int64_t)s * d.rows_per_strip;
     *rows = std::min<int64_t>(d.rows_per_strip, d.height - first_row);
     const uint64_t len = d.strip_counts[s];
+    // ordinary (non-reconstructed) strips are at most a level's JPEG; a
+    // corrupt count must not demand a multi-GiB zero-filled buffer
+    if (len > (uint64_t)512 << 20) return fail("implausible strip size");
     std::vector<uint8_t> raw((size_t)len);
     Reader r{f_};
     if (!r.seek(d.strip_offsets[s]) || !r.bytes(raw.data(), raw.size()))
@@ -299,6 +302,9 @@ bool tag_values(Reader* r, const IfdEntry& e, uint64_t diroff,
                 std::vector<uint64_t>* out) {
   const size_t ts = type_size(e.type);
   if (ts == 0) return false;
+  // corrupt counts (up to 2³²) must not demand a 32 GB zero-filled buffer;
+  // no real NDPI tag carries more than a few thousand values
+  if (e.count > (uint32_t)1 << 22) return false;
   const size_t total = ts * e.count;
   std::vector<uint8_t> buf(std::max<size_t>(total, 4), 0);
   if (total <= 4) {
@@ -378,6 +384,7 @@ NdpiSlide* NdpiSlide::open(const char* path) {
           break;
         case 296: if (tag_values(&r, e, diroff, &v)) d.res_unit = (int32_t)v[0]; break;
         case 270: {  // ImageDescription
+          if (e.count > (uint32_t)16 << 20) break;  // corrupt-count guard
           std::vector<uint8_t> buf(e.count);
           if (e.count <= 4) {
             std::memcpy(buf.data(), &e.value, e.count);

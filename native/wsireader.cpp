@@ -25,6 +25,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -332,7 +333,13 @@ ISlide* open_tiff_slide(const char* path) { return TiffSlide::open(path); }
 
 extern "C" {
 
-void* wsi_open(const char* path) {
+// The ABI below is called from Python via ctypes: a C++ exception escaping
+// it (bad_alloc/length_error from a corrupt file's claimed sizes) would
+// std::terminate the *host process* — the caller's per-slide fail-safe
+// never gets a chance.  Every entry point that can allocate converts
+// exceptions into the named-error contract instead.
+
+void* wsi_open(const char* path) try {
   set_wsi_error("");
   if (has_suffix_ci(path, ".mrxs")) return open_mirax_slide(path);
   if (has_suffix_ci(path, ".vms") || has_suffix_ci(path, ".vmu"))
@@ -360,6 +367,9 @@ void* wsi_open(const char* path) {
     if (applicable) return s;  // may be nullptr on a real error
   }
   return open_tiff_slide(path);
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("open failed: ") + e.what());
+  return nullptr;
 }
 
 const char* wsi_last_error() { return g_last_error.c_str(); }
@@ -397,17 +407,26 @@ int32_t wsi_tile_height(void* handle, int32_t level) {
   return ((ISlide*)handle)->tile_height(level);
 }
 int64_t wsi_read_raw_tile(void* handle, int32_t level, int64_t x, int64_t y,
-                          void* buf, int64_t bufsize) {
+                          void* buf, int64_t bufsize) try {
   return ((ISlide*)handle)->read_raw_tile(level, x, y, buf, bufsize);
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("raw tile read failed: ") + e.what());
+  return -1;
 }
 int32_t wsi_read_region(void* handle, int64_t x, int64_t y, int64_t w,
-                        int64_t h, void* out) {
+                        int64_t h, void* out) try {
   if (!handle) return 1;
   return ((ISlide*)handle)->read_region(x, y, w, h, out);
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("region read failed: ") + e.what());
+  return 9;
 }
-int32_t wsi_read_level(void* handle, int32_t level, void* out) {
+int32_t wsi_read_level(void* handle, int32_t level, void* out) try {
   if (!handle) return 1;
   return ((ISlide*)handle)->read_level(level, out);
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("level read failed: ") + e.what());
+  return 9;
 }
 
 }  // extern "C"
