@@ -143,6 +143,47 @@ def test_clean_corpus_is_sanitizer_silent(driver, corpus):
         )
 
 
+def test_mutated_big_ndpi_never_trips_sanitizers(driver, tmp_path):
+    """The ≥4 GiB NDPI backends (wrapped offsets + read_huge), fuzzed
+    in place: the fixtures are sparse, so copying them per mutation would
+    materialize gigabytes of holes — instead each case flips bytes inside
+    the materialized windows (first/last 4 MiB, where every structure
+    lives) and restores them afterwards."""
+    from tests.ndpi_huge_util import write_big_huge_ndpi
+    from tests.ndpi_util import write_big_ndpi
+
+    rng = np.random.default_rng(99)
+    failures = []
+    for name, writer in (("big.ndpi", write_big_ndpi),
+                         ("big_huge.ndpi", write_big_huge_ndpi)):
+        path = tmp_path / name
+        writer(path)
+        size = path.stat().st_size
+        windows = [(0, 4 << 20), (max(0, size - (4 << 20)), size)]
+        proc, report = _run(driver, path)
+        assert not report and proc.returncode == 0, f"{name} clean: {report}"
+        with open(path, "r+b") as f:
+            for i in range(N_MUTATIONS):
+                lo, hi = windows[i % 2]
+                edits = []
+                for _ in range(int(rng.integers(1, 5))):
+                    off = int(rng.integers(lo, hi))
+                    f.seek(off)
+                    old = f.read(1)
+                    f.seek(off)
+                    f.write(bytes([int(rng.integers(0, 256))]))
+                    edits.append((off, old))
+                f.flush()
+                _, report = _run(driver, path)
+                if report:
+                    failures.append(f"{name} mutation {i}:\n{report}")
+                for off, old in edits:  # restore for the next case
+                    f.seek(off)
+                    f.write(old)
+                f.flush()
+    assert not failures, "\n\n".join(failures[:5])
+
+
 def test_mutated_corpus_never_trips_sanitizers(driver, corpus, tmp_path):
     rng = np.random.default_rng(1234)
     failures = []
