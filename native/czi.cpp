@@ -14,9 +14,11 @@
 // Decoding profile:
 //   pixel types   Gray8, Gray16, Bgr24, Bgr48  → packed RGB
 //   compressions  none, JPEG (libjpeg), zstd0, zstd1 incl. the hi/lo byte
-//                 deinterleave flag (libzstd)
-//   JPEG-XR subblocks fail with a named error (no codec in this image);
-//   the rest of the slide still renders (resilience over abort).
+//                 deinterleave flag (libzstd), JPEG XR via the in-repo
+//                 T.832 codec (native/jxr.cpp — see its header for the
+//                 zero-egress validation caveat)
+//   an undecodable subblock fails with a named error and renders as
+//   background; the rest of the slide still renders (resilience over abort).
 //
 // Selection: one plane — the first index of every dimension other than
 // X/Y/S/M (channel 0, first Z/T/...); all scenes and mosaic tiles of that
@@ -26,6 +28,8 @@
 #include "islide.h"
 
 #include <zstd.h>
+
+#include "jxr.h"
 
 #include <algorithm>
 #include <cmath>
@@ -270,12 +274,21 @@ const std::vector<uint8_t>* CziSlide::block_rgb(int32_t bi) {
       }
       break;
     }
-    case kCompJpegXr:
-      ++decode_errors_;
-      set_wsi_error(
-          "CZI: JPEG-XR subblock (no JPEG-XR codec in this build), rendered "
-          "as background");
-      return nullptr;
+    case kCompJpegXr: {
+      // in-repo T.832 codec (native/jxr.cpp) — decodes straight to RGB
+      std::vector<uint8_t> rgbx;
+      int jw = 0, jh = 0;
+      std::string jerr;
+      if (!jxr::decode(raw.data(), raw.size(), &rgbx, &jw, &jh, &jerr) ||
+          jw != b.sw || jh != b.sh) {
+        ++decode_errors_;
+        set_wsi_error("CZI: JPEG-XR subblock failed to decode (" +
+                      (jerr.empty() ? std::string("size mismatch") : jerr) +
+                      "), rendered as background");
+        return nullptr;
+      }
+      return cache_.put(key, std::move(rgbx));
+    }
     default:
       ++decode_errors_;
       set_wsi_error("CZI: unsupported subblock compression " +

@@ -19,11 +19,13 @@
 //    thumbnails read the smallest sufficient level.
 
 #include "islide.h"
+#include "jxr.h"
 
 #include <tiffio.h>
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <exception>
 #include <string>
@@ -427,6 +429,74 @@ int32_t wsi_read_level(void* handle, int32_t level, void* out) try {
 } catch (const std::exception& e) {
   set_wsi_error(std::string("level read failed: ") + e.what());
   return 9;
+}
+
+// --- JPEG XR codec surface (native/jxr.cpp) ---------------------------------
+// Fixture encoding + direct decode for the tests; czi.cpp uses the C++ API.
+
+// kind: 0 = packed RGB8, 1 = Gray8, 2 = Gray16 (native-endian u16).
+// Returns the encoded size and stores a malloc'd buffer in *out, or -1.
+int64_t wsi_jxr_encode(const void* data, int32_t w, int32_t h, int32_t kind,
+                       int32_t internal_clr, int32_t bands, int32_t overlap,
+                       int32_t qp, int32_t trim, uint8_t** out) try {
+  set_wsi_error("");
+  jxr::EncodeParams p;
+  p.internal_clr = internal_clr;
+  p.bands = bands;
+  p.overlap = overlap;
+  p.qp_dc = p.qp_lp = p.qp_hp = qp;
+  p.trim_flexbits = trim;
+  std::vector<uint8_t> enc;
+  std::string err;
+  bool ok = false;
+  if (kind == 0)
+    ok = jxr::encode_rgb8((const uint8_t*)data, w, h, p, &enc, &err);
+  else if (kind == 1)
+    ok = jxr::encode_gray8((const uint8_t*)data, w, h, p, &enc, &err);
+  else if (kind == 2)
+    ok = jxr::encode_gray16((const uint16_t*)data, w, h, p, &enc, &err);
+  else
+    err = "unknown input kind";
+  if (!ok) {
+    set_wsi_error("JPEG-XR encode failed: " + err);
+    return -1;
+  }
+  *out = (uint8_t*)std::malloc(enc.size());
+  if (!*out) return -1;
+  std::memcpy(*out, enc.data(), enc.size());
+  return (int64_t)enc.size();
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("JPEG-XR encode failed: ") + e.what());
+  return -1;
+}
+
+// Decodes a .jxr container / bare codestream to packed RGB8 in *out
+// (malloc'd); returns 0 and fills w/h, or 1 with the named error set.
+int32_t wsi_jxr_decode(const uint8_t* data, int64_t len, uint8_t** out,
+                       int32_t* w, int32_t* h) try {
+  set_wsi_error("");
+  std::vector<uint8_t> rgb;
+  int dw = 0, dh = 0;
+  std::string err;
+  if (!jxr::decode(data, (size_t)len, &rgb, &dw, &dh, &err)) {
+    set_wsi_error(err);
+    return 1;
+  }
+  *out = (uint8_t*)std::malloc(rgb.size());
+  if (!*out) return 1;
+  std::memcpy(*out, rgb.data(), rgb.size());
+  *w = dw;
+  *h = dh;
+  return 0;
+} catch (const std::exception& e) {
+  set_wsi_error(std::string("JPEG-XR decode failed: ") + e.what());
+  return 1;
+}
+
+void wsi_jxr_free(uint8_t* p) { std::free(p); }
+
+int32_t wsi_jxr_selftest() try { return jxr::selftest(); } catch (...) {
+  return -1;
 }
 
 }  // extern "C"

@@ -113,7 +113,13 @@ def _encode(rgb: np.ndarray, pixel_type: int, compression: int) -> tuple[bytes, 
 BLOCK_W, BLOCK_H = 96, 64
 
 
-def write_czi(path, *, with_jpegxr: bool = False, origin=(-1280, 512)):
+def write_czi(
+    path,
+    *,
+    with_jpegxr: bool = False,
+    jpegxr_corrupt: bool = False,
+    origin=(-1280, 512),
+):
     """Write the fixture; returns (expected level-0 RGB, expected mpp).
 
     Level 0 is a 2×2 Bgr24/Gray16 mosaic (uncompressed, zstd0, zstd1+hilo,
@@ -201,17 +207,33 @@ def write_czi(path, *, with_jpegxr: bool = False, origin=(-1280, 512)):
         _dv_entry(pixel_type=PIX_BGR24, file_pos=at, compression=COMP_NONE, dims=dims)
     )
 
-    if with_jpegxr:  # undecodable block over tile (0,0) — renders background
+    if with_jpegxr or jpegxr_corrupt:
+        # JPEG-XR block over tile (0,0): either a real payload from the
+        # in-repo T.832 encoder (decoded content overlays the tile) or a
+        # corrupt one (named per-block error, renders background).
         dims = [
             (b"X", ox, BLOCK_W, BLOCK_W),
             (b"Y", oy, BLOCK_H, BLOCK_H),
             (b"C", 0, 1, 1),
             (b"M", 99, 1, 1),
         ]
+        if jpegxr_corrupt:
+            payload = b"\x00" * 64
+        else:
+            try:
+                from tests.jxr_util import jxr_encode
+            except ImportError:
+                from jxr_util import jxr_encode
+            tile = np.zeros((BLOCK_H, BLOCK_W, 3), np.uint8)
+            tile[:, :, 0] = np.linspace(10, 245, BLOCK_W, dtype=np.uint8)
+            tile[:, :, 1] = np.linspace(245, 10, BLOCK_H, dtype=np.uint8)[:, None]
+            tile[::5, :, 2] = 200
+            payload = jxr_encode(tile, internal_clr=3, qp=0)  # lossless 444
+            expected[:BLOCK_H, :BLOCK_W] = tile
         entry = _dv_entry(
             pixel_type=PIX_BGR24, file_pos=0, compression=COMP_JPEGXR, dims=dims
         )
-        at = emit(_subblock_segment(entry, b"\x00" * 64))
+        at = emit(_subblock_segment(entry, payload))
         dir_entries.append(
             _dv_entry(
                 pixel_type=PIX_BGR24, file_pos=at, compression=COMP_JPEGXR, dims=dims

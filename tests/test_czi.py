@@ -125,13 +125,13 @@ def test_czi_truncated_file_fails_with_named_error(tmp_path):
         open_slide(path)
 
 
-def test_czi_jpegxr_block_renders_background_and_counts(tmp_path):
+def test_czi_corrupt_jpegxr_block_renders_background_and_counts(tmp_path):
     from stamp_tpu.preprocessing.wsi import _load_native, open_slide
 
     if _load_native() is None:
         pytest.skip("native reader not built")
     path = tmp_path / "jxr.czi"
-    expected, _ = write_czi(path, with_jpegxr=True)
+    expected, _ = write_czi(path, jpegxr_corrupt=True)
     slide = open_slide(path)
     h, w = expected.shape[:2]
     full = np.asarray(slide.read_region((0, 0), 0, (w, h)).convert("RGB"))
@@ -141,3 +141,19 @@ def test_czi_jpegxr_block_renders_background_and_counts(tmp_path):
     )
     np.testing.assert_array_equal(full[BLOCK_H:], expected[BLOCK_H:])
     assert int(slide._lib.wsi_decode_errors(slide._handle)) >= 1
+
+
+def test_czi_jpegxr_block_decodes_exactly(tmp_path):
+    """A real JPEG-XR subblock (in-repo T.832 codec, lossless YUV444)
+    decodes bit-exactly through the CZI render path."""
+    from stamp_tpu.preprocessing.wsi import _load_native, open_slide
+
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    path = tmp_path / "jxr_real.czi"
+    expected, _ = write_czi(path, with_jpegxr=True)
+    slide = open_slide(path)
+    h, w = expected.shape[:2]
+    full = np.asarray(slide.read_region((0, 0), 0, (w, h)).convert("RGB"))
+    np.testing.assert_array_equal(full, expected)
+    assert int(slide._lib.wsi_decode_errors(slide._handle)) == 0

@@ -96,9 +96,13 @@ def corpus(tmp_path_factory) -> list[Path]:
     write_czi(czi)
     slides.append(czi)
 
-    czi_jxr = subdir("czi_jxr") / "mosaic_jxr.czi"  # per-block error path
+    czi_jxr = subdir("czi_jxr") / "mosaic_jxr.czi"  # real T.832 payload
     write_czi(czi_jxr, with_jpegxr=True)
     slides.append(czi_jxr)
+
+    czi_jxr_bad = subdir("czi_jxr_bad") / "mosaic_jxr_bad.czi"  # error path
+    write_czi(czi_jxr_bad, jpegxr_corrupt=True)
+    slides.append(czi_jxr_bad)
 
     return slides
 
