@@ -632,12 +632,9 @@ struct PlaneGeom {
 
 struct CompCoef {
   PlaneGeom g;
-  vector<I32> dc;   // [mb]
-  vector<I32> lp;   // [mb * nlp]
-  vector<I32> hp;   // [mb * nblk * 15], signed hi+lo merged (quantized)
-  // coding-layer split of hp (built during encode, merged during decode)
-  vector<I32> hp_hi;    // signed hi parts (prediction operates here)
-  vector<I32> hp_lo;    // unsigned low parts
+  vector<I32> dc;  // [mb]
+  vector<I32> lp;  // [mb * nlp]
+  vector<I32> hp;  // [mb * nblk * 15], quantized (hi/lo split is per-MB)
 };
 
 // Geometry for component `c` (0 = luma) under internal color format `clr`.
