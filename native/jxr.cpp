@@ -1556,8 +1556,11 @@ bool read_image_header(BitReader& br, ImageHeader* ih, int* mb_w, int* mb_h,
     *err = "JPEG-XR: reserved overlap mode";
     return false;
   }
+  // Cap the decoded size: the per-MB coefficient stores are ~14x the
+  // pixel count in bytes, so a crafted header must not be able to demand
+  // multi-GiB allocations (CZI subblocks are typically <= 4 MP).
   if (ih->width > 32768 || ih->height > 32768 ||
-      (uint64_t)ih->width * ih->height > (1u << 26)) {
+      (uint64_t)ih->width * ih->height > (1u << 24)) {
     *err = "JPEG-XR: image too large";
     return false;
   }
@@ -1748,8 +1751,11 @@ uint64_t read_vlw_esc(BitReader& br) {
   const uint32_t b0 = br.get(8);
   if (b0 < 0xFB) return ((uint64_t)b0 << 8) | br.get(8);
   if (b0 == 0xFB) return br.get(32);
-  if (b0 == 0xFC)
-    return ((uint64_t)br.get(32) << 32) | br.get(32);
+  if (b0 == 0xFC) {
+    const uint64_t hi = br.get(32);  // sequenced: | would leave the two
+    const uint64_t lo = br.get(32);  // get() side effects unordered
+    return (hi << 32) | lo;
+  }
   return 0;  // 0xFD-0xFF: escape/reserved
 }
 void write_vlw_esc(BitWriter& bw, uint64_t v) {
@@ -1959,7 +1965,9 @@ bool decode_core(const uint8_t* cs, size_t len, vector<uint8_t>* rgb, int* W,
   for (int r = 0; r < rows; ++r) {
     int tx0 = 0;
     for (int cix = 0; cix < cols; ++cix, ++t) {
-      if (origin + offs[t] >= len) {
+      // offs is attacker-controlled: bound it before the addition so the
+      // sum cannot wrap around
+      if (offs[t] >= len || origin + offs[t] >= len) {
         *err = "JPEG-XR: tile offset outside the codestream";
         return false;
       }
