@@ -53,65 +53,87 @@ using std::vector;
 // Bit I/O (MSB-first, as T.832 reads codestreams)
 // ===========================================================================
 
+// Buffered MSB-first reader: a 64-bit accumulator holds the next bits at
+// its top, so multi-bit reads and Huffman peeks are O(1).  Reads past the
+// end pad with zero bits and latch fail() once consumed bits exceed the
+// stream (the entropy layer checks fail() at its decision points).
 class BitReader {
  public:
   BitReader(const uint8_t* data, size_t len) : d_(data), n_(len) {}
 
-  uint32_t get1() {
-    if (pos_ >= n_) {
-      failed_ = true;
-      return 0;
-    }
-    const uint32_t b = (d_[pos_] >> (7 - bit_)) & 1;
-    if (++bit_ == 8) {
-      bit_ = 0;
-      ++pos_;
-    }
-    return b;
-  }
-  uint32_t get(int bits) {
-    uint32_t v = 0;
-    for (int i = 0; i < bits; ++i) v = (v << 1) | get1();
+  uint32_t get(int bits) {  // bits in [0, 32]
+    if (bits == 0) return 0;
+    refill(bits);
+    const uint32_t v = (uint32_t)(acc_ >> (64 - bits));
+    consume(bits);
     return v;
   }
-  void byte_align() {
-    if (bit_) {
-      bit_ = 0;
-      ++pos_;
-    }
+  uint32_t get1() { return get(1); }
+  uint32_t peek(int bits) {
+    refill(bits);
+    return (uint32_t)(acc_ >> (64 - bits));
   }
-  size_t byte_pos() const { return pos_ + (bit_ ? 1 : 0); }
+  void skip(int bits) {
+    refill(bits);
+    consume(bits);
+  }
+  void byte_align() {
+    const int r = (int)(pos_bits_ & 7);
+    if (r) skip(8 - r);
+  }
+  size_t byte_pos() const { return (size_t)((pos_bits_ + 7) >> 3); }
   void seek_byte(size_t byte) {
-    bit_ = 0;
-    pos_ = byte;
-    if (pos_ > n_) failed_ = true;
+    acc_ = 0;
+    cnt_ = 0;
+    next_ = byte;
+    pos_bits_ = (uint64_t)byte * 8;
+    if (byte > n_) failed_ = true;
   }
   bool fail() const { return failed_; }
   size_t size() const { return n_; }
 
  private:
+  void refill(int need) {
+    while (cnt_ < need) {
+      const uint64_t b = (next_ < n_) ? d_[next_] : 0;
+      ++next_;
+      acc_ |= b << (56 - cnt_);
+      cnt_ += 8;
+    }
+  }
+  void consume(int bits) {
+    acc_ <<= bits;
+    cnt_ -= bits;
+    pos_bits_ += (uint64_t)bits;
+    if (pos_bits_ > (uint64_t)n_ * 8) failed_ = true;
+  }
+
   const uint8_t* d_;
   size_t n_;
-  size_t pos_ = 0;
-  int bit_ = 0;
+  size_t next_ = 0;      // next byte to load into the accumulator
+  uint64_t acc_ = 0;     // valid bits at the top
+  int cnt_ = 0;
+  uint64_t pos_bits_ = 0;  // consumed bits
   bool failed_ = false;
 };
 
 class BitWriter {
  public:
-  void put1(uint32_t b) {
-    cur_ = (uint8_t)((cur_ << 1) | (b & 1));
-    if (++bit_ == 8) {
-      out_.push_back(cur_);
-      cur_ = 0;
-      bit_ = 0;
+  void put(uint32_t v, int bits) {  // bits in [0, 32]
+    acc_ = (acc_ << bits) | (uint64_t)(v & (bits == 32 ? ~0u : ((1u << bits) - 1u)));
+    cnt_ += bits;
+    while (cnt_ >= 8) {
+      cnt_ -= 8;
+      out_.push_back((uint8_t)(acc_ >> cnt_));
     }
   }
-  void put(uint32_t v, int bits) {
-    for (int i = bits - 1; i >= 0; --i) put1((v >> i) & 1);
-  }
+  void put1(uint32_t b) { put(b & 1, 1); }
   void byte_align() {
-    while (bit_) put1(0);
+    if (cnt_) {
+      out_.push_back((uint8_t)(acc_ << (8 - cnt_)));
+      cnt_ = 0;
+    }
+    acc_ = 0;
   }
   size_t byte_size() const { return out_.size(); }  // call after byte_align
   const vector<uint8_t>& bytes() const { return out_; }
@@ -122,8 +144,8 @@ class BitWriter {
 
  private:
   vector<uint8_t> out_;
-  uint8_t cur_ = 0;
-  int bit_ = 0;
+  uint64_t acc_ = 0;
+  int cnt_ = 0;
 };
 
 // ===========================================================================
@@ -361,9 +383,13 @@ inline I32 dequantize(I32 v, I32 q) { return v * q; }
 // ===========================================================================
 
 struct HuffTable {
-  // canonical codes built from the length array at construction
+  // canonical codes built from the length array at construction, plus a
+  // flat maxlen-bit decode LUT: entry = (symbol << 8) | code length, 0 =
+  // no code with this prefix (corrupt stream).
   vector<uint8_t> len;
   vector<uint32_t> code;
+  int maxlen = 0;
+  vector<uint16_t> lut;
   explicit HuffTable(std::initializer_list<uint8_t> lens) {
     len.assign(lens);
     code.resize(len.size());
@@ -374,6 +400,14 @@ struct HuffTable {
         if (len[s] == l) code[s] = next++;
       }
       next <<= 1;
+    }
+    for (uint8_t l : len) maxlen = std::max(maxlen, (int)l);
+    lut.assign((size_t)1 << maxlen, 0);
+    for (size_t s = 0; s < len.size(); ++s) {
+      const int pad = maxlen - len[s];
+      const uint32_t base = code[s] << pad;
+      for (uint32_t fill = 0; fill < (1u << pad); ++fill)
+        lut[base | fill] = (uint16_t)((s << 8) | len[s]);
     }
   }
 };
@@ -397,20 +431,13 @@ class AdaptiveHuff {
   // Returns -1 on failure (unknown prefix / stream overrun).
   int decode(BitReader& br) {
     const HuffTable& t = *t_[cur_];
-    uint32_t v = 0;
-    int l = 0;
-    for (int step = 0; step < 24; ++step) {
-      v = (v << 1) | br.get1();
-      ++l;
-      if (br.fail()) return -1;
-      for (size_t s = 0; s < t.len.size(); ++s) {
-        if (t.len[s] == l && t.code[s] == v) {
-          adapt((int)s);
-          return (int)s;
-        }
-      }
-    }
-    return -1;
+    const uint16_t e = t.lut[br.peek(t.maxlen)];
+    if (e == 0) return -1;
+    br.skip(e & 0xFF);
+    if (br.fail()) return -1;
+    const int s = e >> 8;
+    adapt(s);
+    return s;
   }
 
  private:
