@@ -407,6 +407,9 @@ def _write_rejection_thumb(
     ).astype(np.int64)
     kept = np.zeros((grid_extent[1], grid_extent[0]), dtype=bool)  # [gy, gx]
     cells = np.floor(coords_um / tile_size_um).astype(np.int64)
+    # Tiling clips tile origins to the slide extent, so cells fit the grid;
+    # guard anyway so coords from older feature files can never crash QC.
+    cells = cells[(cells >= 0).all(axis=1) & (cells < grid_extent).all(axis=1)]
     kept[cells[:, 1], cells[:, 0]] = True
 
     # paint rejected cells as a translucent red RGBA layer over the thumb

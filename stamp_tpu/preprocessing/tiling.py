@@ -222,7 +222,22 @@ def _tiles(
     brightness_cutoff: int | None,
     default_slide_mpp: SlideMPP | None,
 ) -> Iterator[_Tile[Microns]]:
-    """Crop supertiles into tiles (reference tiling.py:196-247)."""
+    """Crop supertiles into tiles (reference tiling.py:196-247).
+
+    Unlike the reference, tiles whose origin lies past the slide extent are
+    dropped here instead of being emitted as 100%-padding images: the
+    reference relies on the canny filter to reject them (black padding has
+    no edges), which silently breaks when ``canny_cutoff`` is disabled and
+    crashes its rejection-thumbnail grid (`_get_rejection_thumb`,
+    reference preprocessing/__init__.py:395-407 — floor(coords/tile) indexes
+    past the ceil-sized inclusion map).  Partial edge tiles (origin inside
+    the slide) are kept, matching the reference.
+    """
+    slide_mpp = get_slide_mpp_(slide, default_mpp=default_slide_mpp)
+    slide_extent_um = (
+        float(slide.dimensions[0]) * slide_mpp,
+        float(slide.dimensions[1]) * slide_mpp,
+    )
     for supertile, supertile_coords_um, supertile_size_um in _supertiles(
         slide_path,
         slide,
@@ -241,7 +256,13 @@ def _tiles(
         assert round(supertile_size_um / no_tiles - tile_size_um) == 0
 
         for y in range(0, no_tiles):
+            y_um = supertile_coords_um.y + y * tile_size_um
+            if y_um >= slide_extent_um[1]:
+                break  # fully-padded rows below the slide
             for x in range(0, no_tiles):
+                x_um = supertile_coords_um.x + x * tile_size_um
+                if x_um >= slide_extent_um[0]:
+                    break  # fully-padded columns right of the slide
                 tile = supertile.crop(
                     (
                         x * tile_size_px,
@@ -253,8 +274,8 @@ def _tiles(
                 yield _Tile(
                     image=tile,
                     coordinates=_XYCoords(
-                        x=Microns(supertile_coords_um.x + x * tile_size_um),
-                        y=Microns(supertile_coords_um.y + y * tile_size_um),
+                        x=Microns(x_um),
+                        y=Microns(y_um),
                     ),
                     size=tile_size_um,
                 )

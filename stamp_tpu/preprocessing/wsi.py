@@ -47,9 +47,9 @@ class UnsupportedFormatError(Exception):
     preprocessing/__init__.py:43-56); the TPU-native reader covers the
     TIFF family (SVS incl. JPEG2000, generic pyramidal TIFF, NDPI, QPTIFF,
     BIF, SCN), 3DHISTECH MIRAX (.mrxs, native/mirax.cpp), Hamamatsu
-    VMS/VMU (native/vms.cpp), Zeiss CZI (.czi, native/czi.cpp — JPEG-XR
-    subblocks excepted, no codec in this image) plus anything PIL can
-    open.  This error names the gap instead of a cryptic per-slide stack
+    VMS/VMU (native/vms.cpp), Zeiss CZI (.czi, native/czi.cpp, incl.
+    JPEG XR subblocks via native/jxr.cpp) plus anything PIL can open.
+    This error names the gap instead of a cryptic per-slide stack
     trace.
     """
 
