@@ -18,3 +18,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# The native WSI reader (native/build/libwsireader.so) is a gitignored build
+# artifact; a fresh checkout doesn't have it and several test files require
+# it.  Build it up front (make no-ops when it is already current) so the
+# suite is green without a manual `make -C native` step.
+def _ensure_native_lib() -> None:
+    import shutil
+    import subprocess
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        return  # no toolchain: native-dependent tests will skip/fail visibly
+    native_dir = Path(__file__).resolve().parent.parent / "native"
+    if not (native_dir / "Makefile").exists():
+        return
+    proc = subprocess.run(
+        ["make"], cwd=native_dir, capture_output=True, text=True, timeout=600
+    )
+    if proc.returncode != 0:
+        print(f"warning: native lib build failed:\n{proc.stderr}", file=sys.stderr)
+
+
+_ensure_native_lib()
