@@ -21,7 +21,7 @@ import h5py
 import numpy as np
 import pandas as pd
 
-from stamp_tpu.io.h5 import CoordsInfo, detect_feature_type, get_coords, get_stride
+from stamp_tpu.io.h5 import detect_feature_type, get_coords, get_stride
 from stamp_tpu.types import (
     BagSize,
     Category,

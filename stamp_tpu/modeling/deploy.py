@@ -23,7 +23,6 @@ import pandas as pd
 
 from stamp_tpu.modeling.checkpoint import load_checkpoint
 from stamp_tpu.modeling.data import (
-    BagDataset,
     BatchIterator,
     _clini_ground_truths,
     create_dataset,
@@ -34,7 +33,6 @@ from stamp_tpu.modeling.data import (
 )
 from stamp_tpu.modeling.tasks import TaskModel, instantiate_from_hparams
 from stamp_tpu.types import (
-    Category,
     GroundTruth,
     PandasLabel,
     PatientId,

@@ -46,7 +46,7 @@ from stamp_tpu.modeling.data import (
 from stamp_tpu.modeling.registry import ModelName, load_model_class
 from stamp_tpu.modeling.tasks import TaskModel
 from stamp_tpu.modeling.transforms import VaryPrecisionTransform
-from stamp_tpu.types import Category, GroundTruth, PandasLabel, PatientId, Task
+from stamp_tpu.types import Category, PandasLabel, PatientId, Task
 from stamp_tpu.utils import profiling
 from stamp_tpu.utils.seed import Seed
 

@@ -83,8 +83,6 @@ def make_ticon_extractor(identifier: str = "ticon") -> Extractor:
 
     use_int8 = _int8_requested()
     if use_int8:
-        from dataclasses import replace
-
         from stamp_tpu.models.ticon import ticon_quant_sites
         from stamp_tpu.models.vit_image import (
             ViTConfig,
