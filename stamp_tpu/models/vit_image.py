@@ -259,9 +259,20 @@ class ImageViT(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
-        """images: [B, H, W, 3] float, already normalized. Returns [B, D_out]."""
+    def __call__(self, images: jax.Array, part: str = "all") -> jax.Array:
+        """images: [B, H, W, 3] float, already normalized. Returns [B, D_out].
+
+        ``part`` splits the forward for pipeline parallelism
+        (parallel/pp_extractor.py): ``"embed"`` runs patch embedding + token
+        assembly and returns the [B, N, D] token sequence; ``"head"`` takes
+        that token sequence and runs the final norm + pooling.  The
+        transformer blocks between them are applied by the pipeline itself
+        (their stacked params are sharded over the ``pp`` mesh axis).
+        ``"all"`` (default) is the ordinary full forward.
+        """
         cfg = self.cfg
+        if part == "head":
+            return self._pool(nn.LayerNorm(epsilon=cfg.norm_eps, name="norm")(images))
         b = images.shape[0]
 
         x = nn.Conv(
@@ -307,12 +318,16 @@ class ImageViT(nn.Module):
 
         tokens.append(x)
         x = jnp.concatenate(tokens, axis=1)
+        if part == "embed":
+            return x
 
         for i in range(cfg.depth):
             x = _Block(cfg, name=f"block_{i}")(x)
 
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm")(x)
+        return self._pool(nn.LayerNorm(epsilon=cfg.norm_eps, name="norm")(x))
 
+    def _pool(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
         n_prefix = cfg.num_prefix_tokens
         if cfg.pool == "token":
             return x[:, 0]

@@ -138,3 +138,39 @@ def test_tp_sharded_extractor_forward():
     # the MLP up-projection really is column-sharded
     leaf = sharded["params"]["block_0"]["mlp"]["fc1"]["kernel"]
     assert "tp" in str(leaf.sharding.spec)
+
+
+@pytest.mark.slow
+def test_pp_pipeline_extractor_forward_matches_single_device():
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stamp_tpu.models.vit_image import ImageViT, ViTConfig
+    from stamp_tpu.parallel.pp_extractor import make_pp_forward
+
+    cfg = ViTConfig(
+        img_size=16, patch_size=8, embed_dim=32, depth=8, num_heads=4,
+        num_reg_tokens=2,
+    )
+    module = ImageViT(cfg)
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 16, 16, 3)).astype(np.float32)
+    )
+    variables = module.init(jax.random.PRNGKey(0), images[:1])
+    want = module.apply(variables, images)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    fwd, (slab, rest) = make_pp_forward(module, variables, mesh, n_microbatches=4)
+    got = fwd(slab, rest, images)
+    # same blocks in the same order; tolerance for CPU matmul run-to-run
+    # drift (oneDNN threading — see ROADMAP environment notes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # the block slab really is depth-sharded over the pp axis
+    leaf = jax.tree_util.tree_leaves(slab)[0]
+    assert "pp" in str(leaf.sharding.spec)
+    # indivisible depth is a named error
+    bad_mesh = Mesh(np.array(jax.devices()[:3]), ("pp",))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pp_forward(module, variables, bad_mesh, n_microbatches=4)
