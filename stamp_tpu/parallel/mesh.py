@@ -59,13 +59,25 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def make_dp_train_step(task_model, tx, mesh: Mesh, *, sp_axis: str | None = None):
-    """Build a pjit-ed training step with batch sharded over ``dp``.
+def make_dp_train_step(
+    task_model,
+    tx,
+    mesh: Mesh,
+    *,
+    sp_axis: str | None = None,
+    dp_axis: str | tuple[str, ...] = "dp",
+):
+    """Build a pjit-ed training step with batch sharded over ``dp_axis``.
 
     Returns ``step(params, opt_state, model_state, batch, rng)`` →
     ``(params, opt_state, model_state, loss)``.  When ``sp_axis`` is given,
     the tile axis of tile-level bags is additionally sharded over it
     (sequence parallelism); XLA inserts the attention collectives.
+
+    ``dp_axis`` may be a tuple, e.g. ``("dcn", "dp")`` on a multi-slice mesh
+    (parallel/distributed.py): the batch is then split across slices too,
+    and XLA lowers the gradient reduction to an ICI reduce-scatter per slice
+    plus one small all-reduce over DCN.
     """
     import optax
 
@@ -75,19 +87,19 @@ def make_dp_train_step(task_model, tx, mesh: Mesh, *, sp_axis: str | None = None
     loss_fn_task = task_model.loss
 
     repl = NamedSharding(mesh, P())
-    batch_dim = P("dp", sp_axis) if sp_axis else P("dp")
+    batch_dim = P(dp_axis, sp_axis) if sp_axis else P(dp_axis)
 
     if is_tile:
         batch_sharding = (
             NamedSharding(mesh, batch_dim),  # bags [B, T, F]
             NamedSharding(mesh, batch_dim),  # coords [B, T, 2]
-            NamedSharding(mesh, P("dp")),  # bag_sizes [B]
-            NamedSharding(mesh, P("dp")),  # targets [B, ...]
+            NamedSharding(mesh, P(dp_axis)),  # bag_sizes [B]
+            NamedSharding(mesh, P(dp_axis)),  # targets [B, ...]
         )
     else:
         batch_sharding = (
-            NamedSharding(mesh, P("dp")),
-            NamedSharding(mesh, P("dp")),
+            NamedSharding(mesh, P(dp_axis)),
+            NamedSharding(mesh, P(dp_axis)),
         )
 
     def apply_model(variables, batch, rngs):

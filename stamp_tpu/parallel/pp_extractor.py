@@ -14,6 +14,15 @@ Each tick is one ``ppermute`` (activation hop to the next stage) plus one
 ``lax.scan`` over the stage's local blocks.  Outputs accumulate on the last
 stage and are broadcast with a masked ``psum``.
 
+Bubble-tick cost: during fill/drain ticks a stage with no valid microbatch
+still applies its block stack to a stale activation (outputs are only stored
+for valid ``out_idx``, so correctness is unaffected).  Skipping that compute
+would not shorten the tick — SPMD stages run in lockstep and each tick lasts
+one full stage-apply regardless of which stages hold valid data — so the
+garbage FLOPs are deliberate; total overhead is the standard GPipe bubble
+fraction (P-1)/(M+P-1).  Ragged batches are padded to a microbatch multiple
+internally and the padding rows dropped from the output.
+
 The reference has no model-parallel execution at all (SURVEY §2.3 — it is
 pinned to one device, reference train.py:541-548); this axis exists so
 foundation-model towers whose weights outgrow one chip's HBM can still
@@ -119,11 +128,18 @@ def make_pp_forward(
     @jax.jit
     def forward(slab: Any, rest: Any, images: jax.Array) -> jax.Array:
         b = images.shape[0]
-        if b % n_microbatches != 0:
-            raise ValueError(f"batch {b} not divisible by {n_microbatches}")
+        # pad ragged batches (deploy-time slides rarely tile to a multiple)
+        # up to a microbatch multiple; padding rows are dropped below
+        pad = (-b) % n_microbatches
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)], axis=0
+            )
+        bp = b + pad
         tokens = module.apply(rest, images, part="embed")
-        xs = tokens.reshape(n_microbatches, b // n_microbatches, *tokens.shape[1:])
+        xs = tokens.reshape(n_microbatches, bp // n_microbatches, *tokens.shape[1:])
         ys = pipeline(slab, xs)
-        return module.apply(rest, ys.reshape(b, *ys.shape[2:]), part="head")
+        out = module.apply(rest, ys.reshape(bp, *ys.shape[2:]), part="head")
+        return out[:b]
 
     return forward, (slab, rest)

@@ -326,6 +326,8 @@ def extract_(
         default_slide_mpp=default_slide_mpp,
     )
 
+    n_handled = 0  # slides that produced output or were legitimately skipped
+    n_unsupported = 0
     for slide_path in (progress := tqdm(worklist)):
         rel = slide_path.relative_to(wsi_dir)
         progress.set_description(str(rel))
@@ -336,6 +338,7 @@ def extract_(
             _logger.debug(
                 f"skipping {slide_path} because {feature_output_path} already exists"
             )
+            n_handled += 1
             continue
 
         try:
@@ -348,9 +351,21 @@ def extract_(
                 "it by adding `preprocessing.default_slide_mpp = <MPP>` "
             )
             continue
+        except UnsupportedFormatError as e:
+            # Per-slide fail-safe (reference preprocessing/__init__.py:290-336),
+            # but unsupported containers are named loudly so users learn the
+            # format is the problem, not the slide contents.
+            n_unsupported += 1
+            _logger.error(
+                f"skipping {slide_path.name}: unsupported container ({e}) — "
+                "convert to pyramidal TIFF/SVS or extract it with the "
+                "reference pipeline."
+            )
+            continue
         except Exception:
             _logger.exception(f"error while extracting features from {slide_path}")
             continue
+        n_handled += 1
 
         if extracted is None:
             _logger.info(f"no tiles found in {slide_path}, skipping")
@@ -384,6 +399,12 @@ def extract_(
             coords_um=coords,
             tile_size_um=tile_size_um,
             default_slide_mpp=default_slide_mpp,
+        )
+
+    if n_unsupported and not n_handled:
+        raise UnsupportedFormatError(
+            f"every slide found in {wsi_dir} is in an unsupported "
+            "container format"
         )
 
 

@@ -32,9 +32,13 @@ def _ensure_native_lib() -> None:
     native_dir = Path(__file__).resolve().parent.parent / "native"
     if not (native_dir / "Makefile").exists():
         return
-    proc = subprocess.run(
-        ["make"], cwd=native_dir, capture_output=True, text=True, timeout=600
-    )
+    try:
+        proc = subprocess.run(
+            ["make"], cwd=native_dir, capture_output=True, text=True, timeout=600
+        )
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"warning: native lib build errored: {e}", file=sys.stderr)
+        return  # native-dependent tests will skip/fail visibly
     if proc.returncode != 0:
         print(f"warning: native lib build failed:\n{proc.stderr}", file=sys.stderr)
 

@@ -170,6 +170,12 @@ def test_pp_pipeline_extractor_forward_matches_single_device():
     # the block slab really is depth-sharded over the pp axis
     leaf = jax.tree_util.tree_leaves(slab)[0]
     assert "pp" in str(leaf.sharding.spec)
+    # ragged batches (not a microbatch multiple) are padded internally and
+    # the padding rows dropped — deploy-time slides rarely tile to a multiple
+    got_ragged = fwd(slab, rest, images[:6])
+    np.testing.assert_allclose(
+        np.asarray(got_ragged), np.asarray(want[:6]), atol=1e-5
+    )
     # indivisible depth is a named error
     bad_mesh = Mesh(np.array(jax.devices()[:3]), ("pp",))
     with pytest.raises(ValueError, match="not divisible"):
