@@ -176,3 +176,12 @@ class AdvancedConfig(BaseModel):
     )
     model_params: ModelParams
     seed: int | None = None
+    mesh_shape: dict[str, int] | None = Field(
+        default=None,
+        description="Device-mesh axis sizes for sharded training, e.g. "
+        '{"dp": 4, "sp": 2} on one host or {"dcn": 2, "dp": 2, "sp": 2} '
+        "across slices (axis product must equal the global device count; "
+        "run one process per host under jax.distributed — see "
+        "parallel/distributed.py). null = single-device training, the "
+        "reference's behavior.",
+    )

@@ -124,7 +124,12 @@ def _load_or_create_splits(
         splits = _Splits.model_validate_json(splits_file.read_text())
     else:
         splits = _generate_splits(patient_to_data, n_splits=n_splits, task=task)
-        splits_file.write_text(splits.model_dump_json(indent=4))
+        # atomic write: concurrent fleet processes generate identical bytes
+        # (random_state=0), so whichever rename lands last is still correct —
+        # but a reader must never see a half-written file
+        tmp = splits_file.with_suffix(".json.tmp")
+        tmp.write_text(splits.model_dump_json(indent=4))
+        tmp.rename(splits_file)
 
     covered = {
         pid
@@ -259,6 +264,7 @@ def _fit_fold(
         patience=advanced.patience,
         accelerator=advanced.accelerator,
         pad_train_buckets=advanced.bag_size is None,
+        mesh_shape=advanced.mesh_shape,
     )
 
 
@@ -379,8 +385,30 @@ def categorical_crossval_(
         categories_for_export = _multitarget_categories(patient_to_data)
         categories = config.categories or None
 
+    # Crossval across a fleet: with several jax.distributed processes and no
+    # global mesh, each process trains its own round-robin share of the
+    # folds concurrently (fold artifacts are per-directory + skip-if-exists,
+    # so restarts and fleet resizes are safe).  With a cross-process
+    # mesh_shape (a "dcn" axis), all processes instead train every fold
+    # together and fold partitioning must stay off.
+    import jax
+
+    from stamp_tpu.parallel.distributed import fold_is_mine, init_distributed
+
+    init_distributed()
+    partition_folds = jax.process_count() > 1 and not (
+        advanced.mesh_shape and "dcn" in advanced.mesh_shape
+    )
+
     for split_i, split in enumerate(splits.splits):
         split_dir = config.output_dir / f"split-{split_i}"
+
+        if partition_folds and not fold_is_mine(split_i):
+            _logger.info(
+                f"skipping split {split_i}: assigned to process "
+                f"{split_i % jax.process_count()} of the fleet"
+            )
+            continue
 
         if (split_dir / "patient-preds.csv").exists():
             _logger.info(

@@ -108,6 +108,7 @@ def train_categorical_model_(*, config: TrainConfig, advanced: AdvancedConfig) -
         patience=advanced.patience,
         accelerator=advanced.accelerator,
         pad_train_buckets=advanced.bag_size is None,
+        mesh_shape=advanced.mesh_shape,
     )
 
 
@@ -451,6 +452,20 @@ def setup_model_for_training(
 # ---------------------------------------------------------------------------
 
 
+def _host_array(x) -> np.ndarray:
+    """Bring a (possibly multi-process-sharded) array to this host.
+
+    dp-sharded outputs of a multi-process step span non-addressable devices;
+    ``process_allgather`` reassembles the global value on every host.
+    Single-process (or replicated) arrays convert directly.
+    """
+    if jax.process_count() > 1 and not getattr(x, "is_fully_addressable", True):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _bucket_size(n: int, *, minimum: int = 512) -> int:
     """Next power-of-two ≥ n (≥ minimum) — bounds recompilation to O(log T)."""
     if n <= minimum:
@@ -519,6 +534,7 @@ def train_model_(
     patience: int,
     accelerator: str | None = None,
     pad_train_buckets: bool = False,
+    mesh_shape: Mapping[str, int] | None = None,
 ) -> tuple[TaskModel, Any]:
     """Trains a model; saves the best checkpoint to ``output_dir/model.ckpt``.
 
@@ -527,9 +543,16 @@ def train_model_(
     with a key mask, so the jitted step compiles once per bucket instead of
     once per slide.
 
+    ``mesh_shape`` (``advanced.mesh_shape``) turns on sharded training over
+    a device mesh — ``{"dp": …[, "sp": …]}`` on one host, with a leading
+    ``"dcn"`` axis across jax.distributed processes.  The batch axis is
+    sharded over every non-``sp`` axis and the tiles-per-bag axis over
+    ``sp``; XLA inserts the gradient collectives.  The reference cannot do
+    this at all (devices=1 FIXME, reference train.py:541-548).
+
     Returns (task_model, best_variables).
     """
-    device = _accelerator_device(accelerator)
+    device = _accelerator_device(accelerator) if mesh_shape is None else None
     if device is not None:
         with jax.default_device(device):
             return _train_model_impl(
@@ -549,6 +572,7 @@ def train_model_(
         max_epochs=max_epochs,
         patience=patience,
         pad_train_buckets=pad_train_buckets,
+        mesh_shape=mesh_shape,
     )
 
 
@@ -561,9 +585,77 @@ def _train_model_impl(
     max_epochs: int,
     patience: int,
     pad_train_buckets: bool = False,
+    mesh_shape: Mapping[str, int] | None = None,
 ) -> tuple[TaskModel, Any]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- optional device mesh (advanced.mesh_shape) ---
+    mesh = None
+    shard_train_batch = None
+    to_global = None
+    if mesh_shape:
+        from jax.sharding import PartitionSpec as P
+
+        from stamp_tpu.parallel.distributed import (
+            global_batch,
+            init_distributed,
+            make_global_mesh,
+            replicate_global,
+            split_local_rows,
+        )
+
+        init_distributed()
+        if jax.process_count() > 1 and Seed.seed is None:
+            raise ValueError(
+                "multi-process sharded training needs a fixed advanced.seed "
+                "so every process draws identical batches"
+            )
+        mesh = make_global_mesh(mesh_shape)
+        dp_axes = tuple(a for a in mesh.axis_names if a != "sp")
+        sp_axis = "sp" if "sp" in mesh.axis_names else None
+        dp_total = int(np.prod([mesh.shape[a] for a in dp_axes]))
+        sp_total = int(mesh.shape["sp"]) if sp_axis else 1
+        _logger.info(
+            f"sharded training on mesh {dict(mesh.shape)} "
+            f"({jax.process_count()} process(es))"
+        )
+
+        def to_global(tree):  # noqa: F811 — replicate eval inputs over the mesh
+            return replicate_global(tree, mesh)
+
+        def shard_train_batch(batch, key_mask):  # noqa: F811
+            is_tile_batch = len(batch) == 4
+            if is_tile_batch:
+                bags, coords, sizes, targets = batch
+                row_spec = P(dp_axes, sp_axis) if sp_axis else P(dp_axes)
+                specs = (
+                    row_spec,
+                    row_spec,
+                    P(dp_axes),
+                    jax.tree_util.tree_map(lambda _: P(dp_axes), targets),
+                )
+            else:
+                feats, targets = batch
+                specs = (
+                    P(dp_axes),
+                    jax.tree_util.tree_map(lambda _: P(dp_axes), targets),
+                )
+            batch = (
+                global_batch(split_local_rows(batch), mesh, specs)
+                if jax.process_count() > 1
+                else global_batch(batch, mesh, specs)
+            )
+            if key_mask is not None:
+                mask_spec = P(dp_axes, sp_axis) if sp_axis else P(dp_axes)
+                key_mask = (
+                    global_batch(
+                        split_local_rows(key_mask), mesh, mask_spec
+                    )
+                    if jax.process_count() > 1
+                    else global_batch(key_mask, mesh, mask_spec)
+                )
+            return batch, key_mask
 
     monitor_metric, mode = model.monitor
     sign = 1.0 if mode == "min" else -1.0
@@ -578,6 +670,16 @@ def _train_model_impl(
     model_state = {k: v for k, v in variables.items() if k != "params"}
     tx = model.make_optimizer()
     opt_state = tx.init(params)
+
+    if mesh is not None:
+        # replicate the (tiny) MIL model + optimizer state over the mesh;
+        # XLA turns the dp-sharded batch into gradient collectives
+        host = jax.tree_util.tree_map(np.asarray, (params, opt_state, model_state))
+        params, opt_state, model_state = (
+            replicate_global(host[0], mesh),
+            replicate_global(host[1], mesh),
+            replicate_global(host[2], mesh),
+        )
 
     module = model.module
     uses_coords = model.uses_coords
@@ -644,7 +746,10 @@ def _train_model_impl(
         (feats,) = inputs
         return module.apply(variables, feats, train=False)
 
-    logger = _EpochLogger(output_dir)
+    # multi-process runs compute identical metrics everywhere (replicated
+    # eval) but only the first process touches the filesystem
+    is_main_process = jax.process_index() == 0
+    logger = _EpochLogger(output_dir) if is_main_process else None
     best_value = math.inf
     best_variables = None
     best_ckpt_path: Path | None = None
@@ -672,17 +777,58 @@ def _train_model_impl(
 
         # the prefetch producer is a separate thread, so the default-device
         # context doesn't reach it — pin transfers to the params' device
-        feed_device = getattr(jax.tree_util.tree_leaves(params)[0], "device", None)
+        # (single-device path only; sharded params have no single .device)
+        feed_device = (
+            getattr(jax.tree_util.tree_leaves(params)[0], "device", None)
+            if mesh is None
+            else None
+        )
 
         train_losses = []
         train_outputs = []
-        train_feed = (
-            _bucketed(train_dl) if pad_train_buckets else train_dl
-        )
-        for device_batch in prefetch_to_device(train_feed, size=2, device=feed_device):
+        if mesh is not None:
+            # mesh path: per-batch global sharding instead of single-device
+            # prefetch; ragged trailing batches are dropped (their rows
+            # cannot split evenly over the dp axes)
+            def _mesh_feed():
+                feed = (
+                    _bucketed(train_dl)
+                    if pad_train_buckets
+                    else ((b, None) for b in train_dl)
+                )
+                for batch, key_mask in feed:
+                    n_rows = batch[0].shape[0]
+                    if n_rows % dp_total != 0:
+                        _logger.debug(
+                            f"dropping ragged batch of {n_rows} rows "
+                            f"(dp={dp_total})"
+                        )
+                        continue
+                    if (
+                        sp_axis
+                        and len(batch) == 4
+                        and batch[0].shape[1] % sp_total != 0
+                    ):
+                        raise ValueError(
+                            f"bag size {batch[0].shape[1]} not divisible by "
+                            f"sp={sp_total}; pick a divisible bag_size"
+                        )
+                    yield shard_train_batch(batch, key_mask)
+
+            train_feed_iter = _mesh_feed()
+        else:
+            train_feed = (
+                _bucketed(train_dl) if pad_train_buckets else train_dl
+            )
+            train_feed_iter = prefetch_to_device(
+                train_feed, size=2, device=feed_device
+            )
+        for device_batch in train_feed_iter:
             rng, step_rng = jax.random.split(rng)
             with profiling.stage("train/step"):
-                if pad_train_buckets:
+                if mesh is not None:
+                    batch, key_mask = device_batch
+                elif pad_train_buckets:
                     batch, key_mask = device_batch
                     key_mask = jnp.asarray(key_mask)
                 else:
@@ -698,7 +844,7 @@ def _train_model_impl(
                 model_state = mutated
             train_losses.append(loss)
             if is_survival:
-                train_outputs.append(np.asarray(outputs).reshape(-1))
+                train_outputs.append(_host_array(outputs).reshape(-1))
             global_step += 1
 
         train_loss = float(np.mean([np.asarray(loss) for loss in train_losses]))
@@ -708,6 +854,11 @@ def _train_model_impl(
             model.hparams["train_pred_median"] = model.train_pred_median
 
         # ---- validate ----
+        # under a mesh, eval inputs are replicated over all devices (the
+        # model is tiny; full-bag eval at batch 1 doesn't split usefully
+        # over dp) so every process computes identical metrics and the
+        # early-stopping control flow stays in lockstep
+        _dev = to_global if mesh is not None else jnp.asarray
         val_outputs: list = []
         val_targets: list = []
         with profiling.stage("train/eval"):
@@ -721,18 +872,18 @@ def _train_model_impl(
                         out = eval_step_padded(
                             params,
                             model_state,
-                            jnp.asarray(bags),
-                            jnp.asarray(coords),
-                            jnp.asarray(key_mask),
+                            _dev(bags),
+                            _dev(coords),
+                            _dev(key_mask),
                         )
                     else:
                         bags, coords, sizes, targets = batch
                         out = eval_step_exact(
-                            params, model_state, jnp.asarray(bags), jnp.asarray(coords)
+                            params, model_state, _dev(bags), _dev(coords)
                         )
                 else:
                     feats, targets = batch
-                    out = eval_step_exact(params, model_state, jnp.asarray(feats))
+                    out = eval_step_exact(params, model_state, _dev(feats))
                 if is_multitarget:
                     val_outputs.append({k: np.asarray(v) for k, v in out.items()})
                 else:
@@ -750,7 +901,8 @@ def _train_model_impl(
         )
         if is_survival and model.train_pred_median is not None:
             metrics["train_pred_median"] = model.train_pred_median
-        logger.log(metrics)
+        if logger is not None:
+            logger.log(metrics)
 
         current = metrics.get(monitor_metric, math.nan)
         _logger.info(
@@ -769,17 +921,19 @@ def _train_model_impl(
             variables_now = {"params": params, **model_state}
             best_variables = jax.tree_util.tree_map(np.asarray, variables_now)
             ckpt_dir = output_dir / "checkpoints"
-            ckpt_dir.mkdir(exist_ok=True, parents=True)
-            if best_ckpt_path is not None and best_ckpt_path.exists():
-                best_ckpt_path.unlink()  # save_top_k=1 semantics
-            best_ckpt_path = (
+            new_ckpt_path = (
                 ckpt_dir / f"checkpoint-epoch={epoch:02d}-{monitor_metric}={current:0.3f}.ckpt"
             )
-            save_checkpoint(
-                best_ckpt_path,
-                hyper_parameters=model.checkpoint_hparams(),
-                variables=best_variables,
-            )
+            if is_main_process:
+                ckpt_dir.mkdir(exist_ok=True, parents=True)
+                if best_ckpt_path is not None and best_ckpt_path.exists():
+                    best_ckpt_path.unlink()  # save_top_k=1 semantics
+                save_checkpoint(
+                    new_ckpt_path,
+                    hyper_parameters=model.checkpoint_hparams(),
+                    variables=best_variables,
+                )
+            best_ckpt_path = new_ckpt_path
         else:
             wait += 1
             if wait >= patience:
@@ -792,11 +946,13 @@ def _train_model_impl(
             np.asarray, {"params": params, **model_state}
         )
         best_ckpt_path = output_dir / "checkpoints" / "checkpoint-final.ckpt"
-        save_checkpoint(
-            best_ckpt_path,
-            hyper_parameters=model.checkpoint_hparams(),
-            variables=best_variables,
-        )
+        if is_main_process:
+            save_checkpoint(
+                best_ckpt_path,
+                hyper_parameters=model.checkpoint_hparams(),
+                variables=best_variables,
+            )
 
-    shutil.copy(best_ckpt_path, output_dir / "model.ckpt")
+    if is_main_process:
+        shutil.copy(best_ckpt_path, output_dir / "model.ckpt")
     return model, best_variables

@@ -147,6 +147,70 @@ def main(argv: list[str]) -> None:
     folds = assign_folds(5)
     print(f"[{pid}] share={sorted(share)} folds={folds}", flush=True)
 
+    # workflow-level path: train_model_ with advanced.mesh_shape spanning
+    # the process boundary — exercises replicate_global, per-batch global
+    # sharding, replicated eval, and process-0-only checkpoint writes
+    import tempfile
+    from pathlib import Path as _Path
+
+    from stamp_tpu.modeling.train import train_model_
+    from stamp_tpu.utils.seed import Seed
+
+    Seed.set(0)
+
+    class _FixedBatches:
+        """Deterministic batch feed — identical on every process."""
+
+        def __init__(self, batches: list) -> None:
+            self._batches = batches
+
+        def __len__(self) -> int:
+            return len(self._batches)
+
+        def __iter__(self):
+            return iter(self._batches)
+
+    def _mk_batch(seed: int, b: int):
+        r = np.random.default_rng(seed)
+        return (
+            r.normal(size=(b, bag, feat_dim)).astype(np.float32),
+            r.uniform(size=(b, bag, 2)).astype(np.float32) * 1000,
+            np.full((b,), bag, np.int32),
+            np.tile(np.array([[1.0, 0.0]], np.float32), (b, 1)),
+        )
+
+    wf_model = LitTileClassifier(
+        model_class=VisionTransformer,
+        ground_truth_label="gt",
+        categories=["neg", "pos"],
+        category_weights=np.array([0.5, 0.5], dtype=np.float32),
+        dim_input=feat_dim,
+        model_name="vit",
+        dim_model=32,
+        dim_feedforward=32,
+        n_heads=4,
+        n_layers=2,
+        use_alibi=True,
+        total_steps=4,
+    )
+    out_dir = _Path(tempfile.mkdtemp(prefix=f"dist_dryrun_{pid}_"))
+    train_model_(
+        output_dir=out_dir,
+        model=wf_model,
+        train_dl=_FixedBatches([_mk_batch(10, batch), _mk_batch(11, batch)]),
+        valid_dl=_FixedBatches([_mk_batch(12, 1)]),
+        max_epochs=2,
+        patience=1,
+        mesh_shape={"dcn": nproc, "dp": local_devices // sp, "sp": sp},
+    )
+    if pid == 0:
+        assert (out_dir / "model.ckpt").exists(), "main process wrote no ckpt"
+    else:
+        assert not (out_dir / "model.ckpt").exists(), (
+            "non-main process wrote files"
+        )
+    print(f"[{pid}] workflow-level mesh_shape training OK", flush=True)
+
     print(f"{_OK_SENTINEL} pid={pid} loss={loss:.4f}", flush=True)
 
 

@@ -94,8 +94,15 @@ def init_distributed(
         if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"
         ):
-            jax.distributed.initialize()
-            _initialized = True
+            try:
+                jax.distributed.initialize()
+                _initialized = True
+            except (RuntimeError, ValueError) as e:
+                # backend already up (a single-process run touched jax
+                # first), or the pod env vars are present but incomplete —
+                # proceed single-process rather than failing a workflow
+                # that never asked for a fleet
+                _logger.debug(f"skipping jax.distributed auto-init: {e}")
         return
 
     jax.distributed.initialize(
@@ -173,16 +180,33 @@ def make_global_mesh(
 def shard_worklist(items: Sequence[_T], *, seed: int = 0x5742) -> list[_T]:
     """Return this process's deterministic, disjoint share of a worklist.
 
-    Every process shuffles identically (seeded rng — unlike the reference's
-    unseeded shuffle, which only *probabilistically* avoids collisions and
-    leans on skip-if-exists) and takes a strided slice, so the shares
-    partition the list exactly.  Composes with skip-if-exists: re-running
-    after adding processes, or after a crash, just re-partitions the
-    remaining work.
+    Every process sorts (so the shares are disjoint even when callers hand
+    in differently-ordered lists), shuffles identically (seeded rng — unlike
+    the reference's unseeded shuffle, which only *probabilistically* avoids
+    collisions and leans on skip-if-exists), and takes a strided slice, so
+    the shares partition the list exactly.  Composes with skip-if-exists:
+    re-running after adding processes, or after a crash, just re-partitions
+    the remaining work.
     """
-    order = np.random.default_rng(seed).permutation(len(items))
-    shuffled = [items[i] for i in order]
+    try:
+        canonical = sorted(items)  # type: ignore[type-var]
+    except TypeError:
+        canonical = sorted(items, key=repr)
+    order = np.random.default_rng(seed).permutation(len(canonical))
+    shuffled = [canonical[i] for i in order]
     return shuffled[jax.process_index() :: jax.process_count()]
+
+
+def replicate_global(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a host pytree over every device of a (possibly
+    multi-process) mesh.  Single-process this is a plain ``device_put``;
+    multi-process each host contributes its (identical) copy."""
+    repl = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)), tree
+    )
 
 
 def assign_folds(n_splits: int) -> list[int]:

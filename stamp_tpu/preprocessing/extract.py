@@ -314,6 +314,24 @@ def extract_(
     )
 
     worklist = _build_worklist(wsi_dir, wsi_list)
+
+    # Extraction fleet: under jax.distributed each process takes a disjoint,
+    # deterministic share of the worklist (no device communication — slides
+    # never span hosts); skip-if-exists + atomic renames keep re-runs and
+    # crashed-process pickup safe, exactly like the reference's shared-dir
+    # contract but without its collision probability.
+    from stamp_tpu.parallel.distributed import init_distributed, shard_worklist
+
+    init_distributed()
+    import jax
+
+    if jax.process_count() > 1:
+        worklist = shard_worklist(worklist)
+        _logger.info(
+            f"extraction fleet: process {jax.process_index()}/"
+            f"{jax.process_count()} takes {len(worklist)} slides"
+        )
+
     output_dir.mkdir(parents=True, exist_ok=True)
     tiling = _TilingParams(
         cache_dir=cache_dir,
