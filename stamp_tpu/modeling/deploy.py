@@ -50,8 +50,21 @@ PredictionsType: TypeAlias = Mapping[PatientId, Union[PredictionSingle, Predicti
 
 def load_model_from_ckpt(path: Union[str, Path]) -> tuple[TaskModel, Any]:
     """Load (task wrapper, flax variables) from a checkpoint
-    (reference deploy.py:49-58)."""
-    payload = load_checkpoint(Path(path))
+    (reference deploy.py:49-58).
+
+    Accepts both this framework's npz checkpoints and the reference's
+    Lightning ``.ckpt``s (converted on the fly — modeling/interop.py), so a
+    reference-trained model deploys here unchanged.
+    """
+    from stamp_tpu.modeling.interop import (
+        is_reference_checkpoint,
+        load_reference_checkpoint,
+    )
+
+    path = Path(path)
+    if is_reference_checkpoint(path):
+        return load_reference_checkpoint(path)
+    payload = load_checkpoint(path)
     model = instantiate_from_hparams(payload["hyper_parameters"])
     return model, payload["variables"]
 

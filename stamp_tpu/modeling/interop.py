@@ -1,0 +1,299 @@
+"""Reference-checkpoint interop: load KatherLab/STAMP Lightning ``.ckpt``s.
+
+The reference saves Lightning checkpoints (a torch zip archive holding
+``hyper_parameters`` + a ``state_dict`` with ``model.*``-prefixed torch
+tensors) and re-instantiates models purely from those hparams
+(reference src/stamp/modeling/deploy.py:49-58, models/__init__.py:60-110).
+This module lets ``stamp deploy`` / ``heatmaps`` / ``crossval`` consume such
+a checkpoint directly: hparams are translated to this framework's task
+wrappers and the torch state dict is converted, key by key, into the flax
+variable tree (transposed Dense kernels, fused per-head ALiBi projections,
+Welford buffers into the ``alibi_stats`` collection).
+
+Security: reference checkpoints are pickle-based by construction, so they
+are loaded with ``torch.load(weights_only=True)`` plus a minimal allowlist
+(packaging ``Version``, pathlib paths) — tensors and plain metadata load;
+a checkpoint carrying arbitrary pickled objects is rejected with the
+offending global named.  There is deliberately no unsafe fallback.
+
+Supported backbones: vit (with/without ALiBi), mlp, linear — the reference's
+default models for every feature type.  trans_mil / barspoon reference
+checkpoints are rejected with a clear message (re-train or export npz).
+"""
+
+from __future__ import annotations
+
+import logging
+import zipfile
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+_logger = logging.getLogger("stamp")
+
+__all__ = ["is_reference_checkpoint", "load_reference_checkpoint"]
+
+
+def is_reference_checkpoint(path: Path | str) -> bool:
+    """True if ``path`` looks like a torch-zip Lightning checkpoint (the
+    reference's format) rather than this framework's npz."""
+    path = Path(path)
+    if not zipfile.is_zipfile(path):
+        return False
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return any(name.endswith("data.pkl") for name in zf.namelist())
+    except (OSError, zipfile.BadZipFile):
+        return False
+
+
+def _load_torch_payload(path: Path) -> dict[str, Any]:
+    import torch
+
+    allowlist: list[Any] = []
+    try:
+        from packaging.version import Version as _V
+
+        allowlist.append(_V)
+        # packaging stores the parsed key internally
+        from packaging.version import _Version as _VTuple  # type: ignore[attr-defined]
+
+        allowlist.append(_VTuple)
+    except ImportError:
+        pass
+    import pathlib
+
+    allowlist += [pathlib.PosixPath, pathlib.WindowsPath, pathlib.PurePosixPath]
+
+    with torch.serialization.safe_globals(allowlist):
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as e:
+            raise ValueError(
+                f"{path} could not be loaded as a reference checkpoint in "
+                "safe mode (weights_only=True). If it embeds custom pickled "
+                "objects, re-export it from the reference as plain tensors "
+                f"first. Loader said: {e}"
+            ) from e
+    if "state_dict" not in ckpt or "hyper_parameters" not in ckpt:
+        raise ValueError(
+            f"{path} is a torch archive but not a Lightning checkpoint "
+            "(missing state_dict / hyper_parameters)"
+        )
+    return ckpt
+
+
+def _np(t: Any) -> np.ndarray:
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _plain(v: Any) -> Any:
+    """hparams value → plain python (tensors, numpy, Version, Path)."""
+    import torch
+
+    if isinstance(v, torch.Tensor):
+        return v.detach().cpu().numpy()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _plain(x) for k, x in v.items()}
+    if isinstance(v, Path):
+        return str(v)
+    if v.__class__.__name__ == "Version":
+        return str(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# State-dict conversion (torch layout → flax variable tree)
+# ---------------------------------------------------------------------------
+
+
+def _dense(sd: dict[str, np.ndarray], key: str) -> dict[str, np.ndarray]:
+    """torch ``nn.Linear`` → flax Dense: weight [out, in] → kernel [in, out]."""
+    out = {"kernel": np.ascontiguousarray(sd.pop(f"{key}.weight").T)}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd.pop(f"{key}.bias")
+    return out
+
+
+def _layernorm(sd: dict[str, np.ndarray], key: str) -> dict[str, np.ndarray]:
+    return {"scale": sd.pop(f"{key}.weight"), "bias": sd.pop(f"{key}.bias")}
+
+
+def _fused_per_head(
+    sd: dict[str, np.ndarray], prefix: str, n_heads: int
+) -> dict[str, np.ndarray]:
+    """Per-head ``nn.Linear`` list → one fused Dense whose output columns are
+    the heads' blocks in order (kernel[:, h*hd:(h+1)*hd] = W_h.T)."""
+    kernels = [sd.pop(f"{prefix}.{h}.weight").T for h in range(n_heads)]
+    biases = [sd.pop(f"{prefix}.{h}.bias") for h in range(n_heads)]
+    return {
+        "kernel": np.ascontiguousarray(np.concatenate(kernels, axis=1)),
+        "bias": np.concatenate(biases),
+    }
+
+
+def _convert_vit(
+    sd: dict[str, np.ndarray], *, n_layers: int, n_heads: int, use_alibi: bool
+) -> dict[str, Any]:
+    """Reference VisionTransformer state dict → our flax variables.
+
+    Layout per reference vision_tranformer.py: ``class_token``,
+    ``project_features.0`` (Linear), per block ``transformer.layers.{i}.0``
+    (SelfAttention: norm + mhsa) and ``.1`` (feed_forward Sequential:
+    LayerNorm, Linear, GELU, Dropout, Linear, Dropout), ``transformer.norm``,
+    ``mlp_head.0``.
+    """
+    params: dict[str, Any] = {
+        "class_token": sd.pop("class_token"),
+        "project": _dense(sd, "project_features.0"),
+        "norm": _layernorm(sd, "transformer.norm"),
+        "head": _dense(sd, "mlp_head.0"),
+    }
+    alibi_stats: dict[str, Any] = {}
+
+    for i in range(n_layers):
+        ref = f"transformer.layers.{i}"
+        block: dict[str, Any] = {
+            "attn_norm": _layernorm(sd, f"{ref}.0.norm"),
+            "ff": {
+                "norm": _layernorm(sd, f"{ref}.1.0"),
+                "fc1": _dense(sd, f"{ref}.1.1"),
+                "fc2": _dense(sd, f"{ref}.1.4"),
+            },
+        }
+        if use_alibi:
+            a = f"{ref}.0.mhsa"
+            block["mhsa"] = {
+                "q_proj": _fused_per_head(sd, f"{a}.query_encoders", n_heads),
+                "k_proj": _fused_per_head(sd, f"{a}.key_encoders", n_heads),
+                "v_proj": _fused_per_head(sd, f"{a}.value_encoders", n_heads),
+                "fc": _dense(sd, f"{a}.fc"),
+                "bias_scale": np.concatenate(
+                    [sd.pop(f"{a}.attentions.{h}.bias_scale") for h in range(n_heads)]
+                ),
+            }
+            alibi_stats[f"block_{i}"] = {
+                "mhsa": {
+                    "running_mean": np.concatenate(
+                        [
+                            sd.pop(f"{a}.attentions.{h}.scale_distance.running_mean")
+                            for h in range(n_heads)
+                        ]
+                    ),
+                    "items_so_far": np.concatenate(
+                        [
+                            sd.pop(f"{a}.attentions.{h}.scale_distance.items_so_far")
+                            for h in range(n_heads)
+                        ]
+                    ),
+                }
+            }
+        else:
+            a = f"{ref}.0.mhsa"
+            in_w = sd.pop(f"{a}.in_proj_weight")
+            in_b = sd.pop(f"{a}.in_proj_bias")
+            block["mhsa"] = {
+                "in_proj": {
+                    "kernel": np.ascontiguousarray(in_w.T),
+                    "bias": in_b,
+                },
+                "out_proj": _dense(sd, f"{a}.out_proj"),
+            }
+        params[f"block_{i}"] = block
+
+    variables: dict[str, Any] = {"params": params}
+    if use_alibi:
+        variables["alibi_stats"] = alibi_stats
+    return variables
+
+
+def _convert_mlp(sd: dict[str, np.ndarray], *, num_layers: int) -> dict[str, Any]:
+    """Reference MLP (``mlp`` Sequential: Linear/ReLU/Dropout ×(n−1), final
+    Linear) → our fc{i} + out Dense stack."""
+    params: dict[str, Any] = {}
+    for i in range(num_layers - 1):
+        params[f"fc{i}"] = _dense(sd, f"mlp.{3 * i}")
+    params["out"] = _dense(sd, f"mlp.{3 * (num_layers - 1)}")
+    return {"params": params}
+
+
+def _convert_linear(sd: dict[str, np.ndarray]) -> dict[str, Any]:
+    return {"params": {"fc": _dense(sd, "fc")}}
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+# hparams the reference stores but this framework re-derives or ignores
+_DROPPED_HPARAMS = {"model_class"}
+
+
+def load_reference_checkpoint(path: Path | str):
+    """Load a reference Lightning ``model.ckpt`` → (TaskModel, variables).
+
+    Mirrors the reference's own re-instantiation contract
+    (deploy.py:49-58): everything the model needs is in
+    ``hyper_parameters``; the version gate (<2.5.0 or >installed rejected)
+    runs through the task wrapper exactly as for native checkpoints.
+    """
+    from stamp_tpu.modeling.tasks import instantiate_from_hparams
+
+    path = Path(path)
+    ckpt = _load_torch_payload(path)
+    hp = {str(k): _plain(v) for k, v in ckpt["hyper_parameters"].items()}
+
+    model_name = str(hp.get("model_name", ""))
+    if model_name not in ("vit", "mlp", "linear"):
+        raise ValueError(
+            f"reference checkpoint interop supports vit/mlp/linear backbones; "
+            f"this checkpoint uses {model_name!r}. Re-train with this "
+            "framework (or export the model as an npz checkpoint) instead."
+        )
+
+    # model.* weights; anything else (class_weights buffer, torchmetrics
+    # state) is wrapper state this framework rebuilds from hparams
+    sd = {
+        k[len("model.") :]: _np(v)
+        for k, v in ckpt["state_dict"].items()
+        if k.startswith("model.")
+    }
+    ignored = [k for k in ckpt["state_dict"] if not k.startswith("model.")]
+    if ignored:
+        _logger.debug(f"interop: ignoring non-backbone state entries {ignored}")
+
+    our_hp = {k: v for k, v in hp.items() if k not in _DROPPED_HPARAMS}
+    model = instantiate_from_hparams(our_hp)
+
+    if model_name == "vit":
+        variables = _convert_vit(
+            sd,
+            n_layers=int(hp.get("n_layers", 2)),
+            n_heads=int(hp.get("n_heads", 8)),
+            use_alibi=bool(hp.get("use_alibi", False)),
+        )
+    elif model_name == "mlp":
+        variables = _convert_mlp(sd, num_layers=int(hp.get("num_layers", 2)))
+    else:
+        variables = _convert_linear(sd)
+
+    if sd:
+        raise ValueError(
+            f"reference checkpoint has unconsumed backbone weights: "
+            f"{sorted(sd)} — architecture mismatch between the checkpoint "
+            "hparams and its state dict"
+        )
+    _logger.info(
+        f"loaded reference Lightning checkpoint {path.name} "
+        f"({model_name}, task={hp.get('task')})"
+    )
+    return model, variables

@@ -1,0 +1,341 @@
+"""Reference-checkpoint interop tests.
+
+Builds Lightning-style torch checkpoints with the reference's exact layout
+(``state_dict`` with ``model.*`` keys per reference
+src/stamp/modeling/models/vision_tranformer.py / mlp.py, ``hyper_parameters``
+per models/__init__.py:60-110), loads them through the regular
+``load_model_from_ckpt`` path, and checks forward parity against an
+independently written torch oracle plus an end-to-end ``deploy`` run.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+import torch.nn as nn
+
+from stamp_tpu.modeling.deploy import deploy_categorical_model_, load_model_from_ckpt
+
+from random_data import create_random_dataset
+
+
+# ---------------------------------------------------------------------------
+# Torch oracle of the reference MIL ViT (eval mode, no mask)
+# ---------------------------------------------------------------------------
+
+
+class _OracleALiBiHead(nn.Module):
+    """One head: softmax(qk/√d) − (dist / running_mean) · bias_scale."""
+
+    def __init__(self, dim: int, head_dim: int) -> None:
+        super().__init__()
+        self.q = nn.Linear(dim, head_dim)
+        self.k = nn.Linear(dim, head_dim)
+        self.v = nn.Linear(dim, head_dim)
+        self.bias_scale = nn.Parameter(torch.rand(1))
+        self.register_buffer("running_mean", torch.rand(1) + 0.5)
+        self.register_buffer("items_so_far", torch.ones(1) + 3)
+
+    def forward(self, x, coords):
+        q, k, v = self.q(x), self.k(x), self.v(x)
+        logits = torch.einsum("bqf,bkf->bqk", q, k) * (k.size(-1) ** -0.5)
+        distances = torch.cdist(coords, coords)
+        scaled = distances / self.running_mean * self.bias_scale
+        weights = torch.softmax(logits, dim=-1) - scaled
+        return torch.einsum("bqk,bkf->bqf", weights, v)
+
+
+class _OracleAttention(nn.Module):
+    def __init__(self, dim: int, n_heads: int, use_alibi: bool) -> None:
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.use_alibi = use_alibi
+        if use_alibi:
+            self.heads = nn.ModuleList(
+                _OracleALiBiHead(dim, dim // n_heads) for _ in range(n_heads)
+            )
+            self.fc = nn.Linear(dim, dim)
+        else:
+            self.mha = nn.MultiheadAttention(dim, n_heads, 0.0, batch_first=True)
+
+    def forward(self, x, coords):
+        h = self.norm(x)
+        if self.use_alibi:
+            parts = [head(h, coords) for head in self.heads]
+            stacked = torch.stack(parts)  # [H, B, T, hd]
+            return self.fc(stacked.permute(1, 2, 0, 3).flatten(-2, -1))
+        out, _ = self.mha(h, h, h, need_weights=False)
+        return out
+
+
+class _OracleFF(nn.Module):
+    def __init__(self, dim: int, hidden: int) -> None:
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim),
+            nn.Linear(dim, hidden),
+            nn.GELU(),
+            nn.Dropout(0.0),
+            nn.Linear(hidden, dim),
+            nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _OracleViT(nn.Module):
+    """Reference VisionTransformer forward, eval mode, mask=None."""
+
+    def __init__(
+        self,
+        dim_input: int,
+        dim_output: int,
+        dim_model: int,
+        n_layers: int,
+        n_heads: int,
+        dim_feedforward: int,
+        use_alibi: bool,
+    ) -> None:
+        super().__init__()
+        self.class_token = nn.Parameter(torch.randn(dim_model))
+        self.project = nn.Sequential(
+            nn.Linear(dim_input, dim_model), nn.GELU(), nn.Dropout(0.0)
+        )
+        self.blocks = nn.ModuleList(
+            nn.ModuleList(
+                [
+                    _OracleAttention(dim_model, n_heads, use_alibi),
+                    _OracleFF(dim_model, dim_feedforward),
+                ]
+            )
+            for _ in range(n_layers)
+        )
+        self.final_norm = nn.LayerNorm(dim_model)
+        self.head = nn.Linear(dim_model, dim_output)
+
+    def forward(self, bags, coords):
+        b = bags.shape[0]
+        x = self.project(bags)
+        cls = self.class_token.expand(b, 1, -1)
+        x = torch.cat([cls, x], dim=1)
+        coords = torch.cat([torch.zeros(b, 1, 2).type_as(coords), coords], dim=1)
+        for attn, ff in self.blocks:
+            x = attn(x, coords) + x
+            x = ff(x) + x
+        x = self.final_norm(x)
+        return self.head(x[:, 0])
+
+
+def _vit_reference_state_dict(oracle: _OracleViT) -> dict:
+    """Oracle params → the reference's exact state-dict key layout."""
+    sd: dict = {"class_token": oracle.class_token.detach()}
+    sd["project_features.0.weight"] = oracle.project[0].weight.detach()
+    sd["project_features.0.bias"] = oracle.project[0].bias.detach()
+    for i, (attn, ff) in enumerate(oracle.blocks):
+        p = f"transformer.layers.{i}"
+        sd[f"{p}.0.norm.weight"] = attn.norm.weight.detach()
+        sd[f"{p}.0.norm.bias"] = attn.norm.bias.detach()
+        if attn.use_alibi:
+            for h, head in enumerate(attn.heads):
+                a = f"{p}.0.mhsa"
+                for name, lin in (("query", head.q), ("key", head.k), ("value", head.v)):
+                    sd[f"{a}.{name}_encoders.{h}.weight"] = lin.weight.detach()
+                    sd[f"{a}.{name}_encoders.{h}.bias"] = lin.bias.detach()
+                sd[f"{a}.attentions.{h}.bias_scale"] = head.bias_scale.detach()
+                sd[f"{a}.attentions.{h}.scale_distance.running_mean"] = (
+                    head.running_mean.detach()
+                )
+                sd[f"{a}.attentions.{h}.scale_distance.items_so_far"] = (
+                    head.items_so_far.detach()
+                )
+            sd[f"{p}.0.mhsa.fc.weight"] = attn.fc.weight.detach()
+            sd[f"{p}.0.mhsa.fc.bias"] = attn.fc.bias.detach()
+        else:
+            sd[f"{p}.0.mhsa.in_proj_weight"] = attn.mha.in_proj_weight.detach()
+            sd[f"{p}.0.mhsa.in_proj_bias"] = attn.mha.in_proj_bias.detach()
+            sd[f"{p}.0.mhsa.out_proj.weight"] = attn.mha.out_proj.weight.detach()
+            sd[f"{p}.0.mhsa.out_proj.bias"] = attn.mha.out_proj.bias.detach()
+        sd[f"{p}.1.0.weight"] = ff.net[0].weight.detach()
+        sd[f"{p}.1.0.bias"] = ff.net[0].bias.detach()
+        sd[f"{p}.1.1.weight"] = ff.net[1].weight.detach()
+        sd[f"{p}.1.1.bias"] = ff.net[1].bias.detach()
+        sd[f"{p}.1.4.weight"] = ff.net[4].weight.detach()
+        sd[f"{p}.1.4.bias"] = ff.net[4].bias.detach()
+    sd["transformer.norm.weight"] = oracle.final_norm.weight.detach()
+    sd["transformer.norm.bias"] = oracle.final_norm.bias.detach()
+    sd["mlp_head.0.weight"] = oracle.head.weight.detach()
+    sd["mlp_head.0.bias"] = oracle.head.bias.detach()
+    return sd
+
+
+def _save_lightning_ckpt(path, state_dict: dict, hparams: dict) -> None:
+    from packaging.version import Version
+
+    ckpt = {
+        "state_dict": {f"model.{k}": v for k, v in state_dict.items()},
+        "hyper_parameters": {"stamp_version": Version("2.5.0"), **hparams},
+        "epoch": 3,
+        "global_step": 42,
+    }
+    torch.save(ckpt, path)
+
+
+def _vit_hparams(dim_input: int, use_alibi: bool, cats=("neg", "pos")) -> dict:
+    return {
+        "task": "classification",
+        "supported_features": "tile",
+        "model_name": "vit",
+        "ground_truth_label": "ground-truth",
+        "categories": list(cats),
+        "category_weights": torch.tensor([0.4, 0.6]),
+        "dim_input": dim_input,
+        "dim_model": 32,
+        "n_layers": 2,
+        "n_heads": 4,
+        "dim_feedforward": 48,
+        "dropout": 0.0,
+        "use_alibi": use_alibi,
+        "total_steps": 64,
+        "max_lr": 1e-4,
+        "div_factor": 25.0,
+        "train_patients": ["p1", "p2"],
+        "valid_patients": ["p3"],
+    }
+
+
+@pytest.mark.parametrize("use_alibi", [False, True])
+def test_reference_vit_ckpt_forward_parity(tmp_path, use_alibi):
+    torch.manual_seed(0)
+    dim_input = 24
+    oracle = _OracleViT(dim_input, 2, 32, 2, 4, 48, use_alibi).eval()
+
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(
+        ckpt_path,
+        _vit_reference_state_dict(oracle),
+        _vit_hparams(dim_input, use_alibi),
+    )
+
+    model, variables = load_model_from_ckpt(ckpt_path)
+    assert model.categories == ["neg", "pos"]
+
+    rng = np.random.default_rng(0)
+    bags = rng.normal(size=(2, 15, dim_input)).astype(np.float32)
+    coords = (rng.uniform(size=(2, 15, 2)) * 2000).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(bags), torch.from_numpy(coords)).numpy()
+    got = np.asarray(
+        model.module.apply(variables, bags, coords=coords, train=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_reference_mlp_ckpt_forward_parity(tmp_path):
+    torch.manual_seed(1)
+    dim_input, dim_hidden, num_layers = 12, 20, 3
+    oracle = nn.Sequential(
+        nn.Linear(dim_input, dim_hidden),
+        nn.ReLU(),
+        nn.Dropout(0.0),
+        nn.Linear(dim_hidden, dim_hidden),
+        nn.ReLU(),
+        nn.Dropout(0.0),
+        nn.Linear(dim_hidden, 2),
+    ).eval()
+    sd = {f"mlp.{i}.{p}": t.detach() for i, m in enumerate(oracle)
+          if isinstance(m, nn.Linear) for p, t in m.named_parameters()}
+    hparams = {
+        "task": "classification",
+        "supported_features": "slide",
+        "model_name": "mlp",
+        "ground_truth_label": "ground-truth",
+        "categories": ["neg", "pos"],
+        "category_weights": torch.tensor([0.5, 0.5]),
+        "dim_input": dim_input,
+        "dim_hidden": dim_hidden,
+        "num_layers": num_layers,
+        "dropout": 0.0,
+        "total_steps": 64,
+        "max_lr": 1e-4,
+        "div_factor": 25.0,
+    }
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(ckpt_path, sd, hparams)
+
+    model, variables = load_model_from_ckpt(ckpt_path)
+    x = np.random.default_rng(0).normal(size=(4, dim_input)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.module.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_reference_ckpt_rejects_unsupported_backbone(tmp_path):
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(
+        ckpt_path,
+        {"dummy.weight": torch.zeros(1)},
+        {**_vit_hparams(8, False), "model_name": "trans_mil"},
+    )
+    with pytest.raises(ValueError, match="trans_mil"):
+        load_model_from_ckpt(ckpt_path)
+
+
+def test_reference_ckpt_version_gate(tmp_path):
+    from packaging.version import Version
+
+    torch.manual_seed(0)
+    oracle = _OracleViT(8, 2, 32, 2, 4, 48, False).eval()
+    ckpt_path = tmp_path / "model.ckpt"
+    hp = _vit_hparams(8, False)
+    hp["stamp_version"] = Version("2.4.0")
+    _save_lightning_ckpt(ckpt_path, _vit_reference_state_dict(oracle), hp)
+    with pytest.raises(ValueError, match="incompatible"):
+        load_model_from_ckpt(ckpt_path)
+
+
+@pytest.mark.slow
+def test_reference_ckpt_deploys_end_to_end(tmp_path):
+    """A reference-format checkpoint drives `stamp deploy` unchanged:
+    patient-preds.csv comes out with the standard column contract."""
+    torch.manual_seed(0)
+    dim_input = 16
+    cats = ("neg", "pos")
+    oracle = _OracleViT(dim_input, len(cats), 32, 2, 4, 48, True).eval()
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(
+        ckpt_path,
+        _vit_reference_state_dict(oracle),
+        _vit_hparams(dim_input, True, cats),
+    )
+
+    (tmp_path / "data").mkdir()
+    clini, slide, feats, _cats = create_random_dataset(
+        dir=tmp_path / "data",
+        feat_dim=dim_input,
+        n_patients=6,
+        max_slides_per_patient=1,
+        min_tiles_per_slide=8,
+        max_tiles_per_slide=24,
+        categories=list(cats),
+    )
+    deploy_categorical_model_(
+        output_dir=tmp_path / "deploy",
+        checkpoint_paths=[ckpt_path],
+        clini_table=clini,
+        slide_table=slide,
+        feature_dir=feats,
+        ground_truth_label="ground-truth",
+        time_label=None,
+        status_label=None,
+        patient_label="patient",
+        filename_label="slide_path",
+        num_workers=1,
+        accelerator="cpu",
+    )
+    df = pd.read_csv(tmp_path / "deploy" / "patient-preds.csv")
+    assert len(df) == 6
+    score_cols = [f"ground-truth_{c}" for c in cats]
+    assert ((df[score_cols].sum(axis=1) - 1).abs() < 1e-5).all()
