@@ -6,16 +6,21 @@ SURVEY.md §6 note).  This implements Macenko et al., *A method for
 normalizing histology slides for quantitative analysis* (ISBI 2009),
 vectorized over a tile batch:
 
-  1. optical density  OD = −log10((I+1)/240)
-  2. tissue mask      OD > β on every channel-summed pixel
+  1. optical density  OD = −ln((I+1)/240)  (natural log, as in the
+     canonical Macenko implementations — the reference stain maxima
+     ``MAX_C_REF`` are in natural-log OD units)
+  2. tissue mask      every channel's OD > β
   3. top-2 eigenvectors of the masked OD covariance (3×3 ``eigh``)
   4. robust angular extremes (α/100−α percentiles) → stain vectors H, E
-  5. concentrations by least squares, scaled to reference maxima
-  6. reconstruction with the canonical reference stain matrix
+  5. concentrations by least squares over all pixels, 99th-percentile
+     scaled to the reference maxima
+  6. reconstruction ``Io·exp(−HE_ref·C)``
 
 Everything is static-shape; tiles with too little tissue fall back to the
 identity (a ``where`` on the masked pixel count), so background tiles pass
-through unchanged inside one compiled graph.
+through unchanged inside one compiled graph.  Pinned against an independent
+numpy implementation of the canonical algorithm + frozen values in
+tests/test_macenko_groundtruth.py.
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ def _normalize_single(image: jax.Array) -> jax.Array:
     h, w, _ = image.shape
     ih = image.reshape(-1, 3).astype(jnp.float32)
 
-    od = -jnp.log10((ih + 1.0) / _IO)  # [N, 3]
+    od = -jnp.log((ih + 1.0) / _IO)  # [N, 3], natural-log OD
     tissue = jnp.all(od > _BETA, axis=1)  # [N]
     n_tissue = jnp.sum(tissue)
 
@@ -76,17 +81,13 @@ def _normalize_single(image: jax.Array) -> jax.Array:
         jnp.stack([v2, v1], axis=1),
     )  # [3, 2]
 
-    # concentrations: least squares he @ C = od^T
+    # concentrations: least squares he @ C = od^T; the 99th-percentile
+    # maxima run over ALL pixels (canonical Macenko behavior)
     conc = jnp.linalg.lstsq(he, od.T)[0]  # [2, N]
-    max_c = jnp.stack(
-        [
-            jnp.nanpercentile(jnp.where(tissue, conc[0], jnp.nan), 99),
-            jnp.nanpercentile(jnp.where(tissue, conc[1], jnp.nan), 99),
-        ]
-    )
+    max_c = jnp.percentile(conc, 99, axis=1)
     conc_scaled = conc * (MAX_C_REF / jnp.maximum(max_c, 1e-6))[:, None]
 
-    normalized = _IO * jnp.power(10.0, -(HE_REF @ conc_scaled))  # [3, N]
+    normalized = _IO * jnp.exp(-(HE_REF @ conc_scaled))  # [3, N]
     normalized = jnp.clip(normalized.T, 0.0, 255.0)
 
     out = normalized.reshape(h, w, 3)
