@@ -19,16 +19,21 @@
 //    thumbnails read the smallest sufficient level.
 
 #include "islide.h"
+#include "j2k.h"
 #include "jxr.h"
 
 #include <tiffio.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <exception>
+#include <mutex>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -98,14 +103,30 @@ class TiffSlide : public ISlide {
   }
   void parse_mpp();
 
+  // Read the raw J2K codestream of the tile containing (x, y) at `level`.
+  // Touches the shared TIFF handle — callers serialize via tiff_mu_.
+  bool read_j2k_raw(int32_t level, int64_t x, int64_t y,
+                    std::vector<uint8_t>* raw, std::string* err);
+
+  // Decode every J2K tile intersecting the level-`level` rectangle
+  // [rx, rx+rw) x [ry, ry+rh) and blit into dst (RGBA rh x rw, top-left
+  // origin, already background-filled).  Codestream reads are serial
+  // (libtiff handle); decodes fan out over hardware threads — J2K entropy
+  // decode dominates the cost and tiles are independent.
+  int32_t j2k_blit(int32_t level, int64_t rx, int64_t ry, int64_t rw,
+                   int64_t rh, uint8_t* dst);
+
   TIFF* tif_ = nullptr;
   std::vector<Level> levels_;  // sorted by size, levels[0] = full resolution
   std::string description_;
   double mpp_ = -1.0;
   uint16_t compression_ = 0;  // level-0 compression tag
-  bool raw_only_ = false;     // codec not configured (e.g. Aperio JPEG2000):
-                              // only raw tile access works; the Python layer
-                              // decodes the codestreams (PIL/openjpeg)
+  bool raw_only_ = false;     // codec not configured (e.g. Aperio JPEG2000
+                              // without libopenjp2): only raw tile access
+                              // works; the Python layer decodes host-side
+  bool j2k_ = false;          // Aperio 33003/33005 decoded natively via
+                              // the system libopenjp2 (native/j2k.cpp)
+  std::mutex tiff_mu_;        // serializes TIFF access during j2k_blit
 };
 
 void TiffSlide::parse_mpp() {
@@ -199,9 +220,14 @@ TiffSlide* TiffSlide::open(const char* path) {
   TIFFSetDirectory(tif, s->levels_[0].dir_index);
   TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &s->compression_);
   if (!is_supported_compression(tif)) {
-    // Aperio JPEG2000 (33003/33005) and other unconfigured codecs: keep the
-    // handle open for raw tile access; pixel decode happens host-side.
-    if (TIFFIsTiled(tif)) {
+    if ((s->compression_ == 33003 || s->compression_ == 33005) &&
+        TIFFIsTiled(tif) && j2k::available()) {
+      // Aperio JPEG2000: decode the tile codestreams natively through the
+      // system libopenjp2 (native/j2k.cpp) — the dominant TCGA encoding.
+      s->j2k_ = true;
+    } else if (TIFFIsTiled(tif)) {
+      // Unconfigured codec (or no libopenjp2): keep the handle open for
+      // raw tile access; pixel decode happens host-side (PIL/openjpeg).
       s->raw_only_ = true;
     } else {
       set_wsi_error("unsupported TIFF compression on a non-tiled image");
@@ -230,6 +256,128 @@ int64_t TiffSlide::read_raw_tile(int32_t level, int64_t x, int64_t y, void* buf,
   return (int64_t)n;
 }
 
+bool TiffSlide::read_j2k_raw(int32_t level, int64_t x, int64_t y,
+                             std::vector<uint8_t>* raw, std::string* err) {
+  if (!set_dir(level) || !TIFFIsTiled(tif_)) {
+    *err = "J2K tile read on a non-tiled directory";
+    return false;
+  }
+  const uint32_t tile_index =
+      TIFFComputeTile(tif_, (uint32_t)x, (uint32_t)y, 0, 0);
+  tmsize_t size = TIFFTileSize64(tif_);
+  uint64_t* bytecounts = nullptr;
+  if (TIFFGetField(tif_, TIFFTAG_TILEBYTECOUNTS, &bytecounts) && bytecounts) {
+    size = (tmsize_t)bytecounts[tile_index];
+  }
+  // corrupt-file guard, same bound the MIRAX backend uses per tile payload
+  if (size <= 0 || size > (tmsize_t)(256ll << 20)) {
+    *err = "J2K tile has an implausible codestream size";
+    return false;
+  }
+  raw->resize((size_t)size);
+  tmsize_t n = TIFFReadRawTile(tif_, tile_index, raw->data(), size);
+  if (n <= 0) {
+    *err = "could not read the raw J2K tile codestream";
+    return false;
+  }
+  raw->resize((size_t)n);
+  return true;
+}
+
+int32_t TiffSlide::j2k_blit(int32_t level, int64_t rx, int64_t ry, int64_t rw,
+                            int64_t rh, uint8_t* dst) {
+  uint32_t tw = 0, th = 0;
+  {
+    std::lock_guard<std::mutex> lk(tiff_mu_);
+    if (!set_dir(level)) return 2;
+    TIFFGetField(tif_, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif_, TIFFTAG_TILELENGTH, &th);
+  }
+  if (tw == 0 || th == 0) return 3;
+
+  const Level& lvl = levels_[level];
+  const int64_t x0 = std::max<int64_t>(rx, 0);
+  const int64_t y0 = std::max<int64_t>(ry, 0);
+  const int64_t x1 = std::min<int64_t>(rx + rw, lvl.width);
+  const int64_t y1 = std::min<int64_t>(ry + rh, lvl.height);
+  if (x0 >= x1 || y0 >= y1) return 0;
+
+  std::vector<std::pair<int64_t, int64_t>> jobs;
+  for (int64_t ty = (y0 / th) * th; ty < y1; ty += th)
+    for (int64_t tx = (x0 / tw) * tw; tx < x1; tx += tw)
+      jobs.emplace_back(tx, ty);
+
+  const j2k::ColorSpace space = compression_ == 33003
+                                    ? j2k::ColorSpace::kYCbCr
+                                    : j2k::ColorSpace::kRGB;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> failed{false};
+  std::mutex err_mu;
+  std::string first_err;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> raw, rgb;
+    std::string err;
+    while (!failed.load(std::memory_order_relaxed)) {
+      const size_t i = next.fetch_add(1);
+      if (i >= jobs.size()) break;
+      const int64_t tx = jobs[i].first, ty = jobs[i].second;
+      {
+        std::lock_guard<std::mutex> lk(tiff_mu_);
+        if (!read_j2k_raw(level, tx, ty, &raw, &err)) {
+          std::lock_guard<std::mutex> ek(err_mu);
+          if (first_err.empty()) first_err = err;
+          failed = true;
+          return;
+        }
+      }
+      int dw = 0, dh = 0;
+      if (!j2k::decode(raw.data(), raw.size(), space, &rgb, &dw, &dh, &err)) {
+        std::lock_guard<std::mutex> ek(err_mu);
+        if (first_err.empty()) first_err = "J2K tile decode failed: " + err;
+        failed = true;
+        return;
+      }
+      // blit the decoded tile's intersection with the request (regions of
+      // distinct tiles are disjoint in dst, so no synchronization needed)
+      const int64_t cx0 = std::max<int64_t>(tx, x0);
+      const int64_t cx1 = std::min<int64_t>({tx + tw, x1, tx + dw});
+      const int64_t cy0 = std::max<int64_t>(ty, y0);
+      const int64_t cy1 = std::min<int64_t>({ty + th, y1, ty + dh});
+      for (int64_t iy = cy0; iy < cy1; ++iy) {
+        const uint8_t* src = rgb.data() + ((iy - ty) * dw + (cx0 - tx)) * 3;
+        uint8_t* dst_row = dst + ((iy - ry) * rw + (cx0 - rx)) * 4;
+        for (int64_t ix = cx0; ix < cx1; ++ix, src += 3, dst_row += 4) {
+          dst_row[0] = src[0];
+          dst_row[1] = src[1];
+          dst_row[2] = src[2];
+          dst_row[3] = 0xFF;
+        }
+      }
+    }
+  };
+
+  size_t hw = std::max<size_t>(std::thread::hardware_concurrency(), 1);
+  if (const char* env = std::getenv("WSI_J2K_THREADS")) {
+    const long v = std::strtol(env, nullptr, 10);
+    if (v >= 1 && v <= 256) hw = (size_t)v;
+  }
+  const size_t n_threads = std::min(hw, jobs.size());
+  if (n_threads <= 1) {
+    worker();  // single core / single tile: no thread spawn overhead
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (size_t i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (failed.load()) {
+    set_wsi_error(first_err.empty() ? "J2K decode failed" : first_err);
+    return 4;
+  }
+  return 0;
+}
+
 // Read a level-0 region into out (RGBA, h×w×4, row-major top-left origin).
 // Out-of-bounds areas are filled with opaque white (OpenSlide fills
 // transparent black; white matches the background-rejection expectations of
@@ -255,6 +403,12 @@ int32_t TiffSlide::read_region(int64_t x, int64_t y, int64_t w, int64_t h,
     TIFFGetField(tif_, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif_, TIFFTAG_TILELENGTH, &th);
     if (tw == 0 || th == 0) return 3;
+
+    if (j2k_) {
+      // Aperio JPEG2000 path: decode intersecting tile codestreams natively
+      // in parallel (top-down RGB8, unlike libtiff's bottom-up RGBA raster).
+      return j2k_blit(0, x, y, w, h, dst);
+    }
 
     std::vector<uint32_t> tile((size_t)tw * th);
     for (int64_t ty = (y0 / th) * th; ty < y1; ty += th) {
@@ -306,6 +460,13 @@ int32_t TiffSlide::read_level(int32_t level, void* out) {
   if (!out || level < 0 || level >= (int32_t)levels_.size()) return 1;
   const Level& lvl = levels_[level];
   if (!TIFFSetDirectory(tif_, lvl.dir_index)) return 2;
+
+  if (j2k_ && TIFFIsTiled(tif_)) {
+    // thumbnail levels of Aperio J2K slides are J2K-tiled too
+    uint8_t* dst = (uint8_t*)out;
+    std::memset(dst, 0xFF, (size_t)lvl.width * lvl.height * 4);
+    return j2k_blit(level, 0, 0, lvl.width, lvl.height, dst);
+  }
 
   // TIFFReadRGBAImageOriented fills top-left origin directly.
   if (!TIFFReadRGBAImageOriented(tif_, (uint32_t)lvl.width,

@@ -188,9 +188,23 @@ def test_extract_random_vit(synthetic_slide, tmp_path, monkeypatch):
         assert np.isfinite(feats.astype(np.float32)).all()
 
 
+def _openjp2_available() -> bool:
+    import ctypes
+
+    for name in ("libopenjp2.so.7", "libopenjp2.so"):
+        try:
+            ctypes.CDLL(name)
+            return True
+        except OSError:
+            continue
+    return False
+
+
 def test_native_reader_jpeg2000_svs(tmp_path):
-    """Aperio-style J2K-coded tiled TIFF: raw tiles via libtiff, decode via
-    PIL/openjpeg — pixel-exact for lossless streams."""
+    """Aperio-style 33005 (RGB) J2K tiled TIFF decodes natively through the
+    system libopenjp2 (native/j2k.cpp) — pixel-exact for lossless streams.
+    Without libopenjp2 the slide degrades to raw-tile access with host-side
+    PIL/openjpeg decode; both paths must produce identical pixels."""
     if _load_native() is None:
         pytest.skip("native reader not built")
     from wsi_util import write_j2k_tiff
@@ -202,7 +216,7 @@ def test_native_reader_jpeg2000_svs(tmp_path):
 
     slide = open_slide(path)
     assert isinstance(slide, CTiffSlide)
-    assert slide._raw_only
+    assert slide._raw_only == (not _openjp2_available())
     assert slide.dimensions == (400, 300)
 
     region = np.array(slide.read_region((50, 40), 0, (100, 80)))[:, :, :3]
@@ -210,6 +224,68 @@ def test_native_reader_jpeg2000_svs(tmp_path):
 
     thumb = slide.get_thumbnail((100, 100))
     assert thumb.size == (100, 75)
+
+
+def test_native_reader_jpeg2000_ycbcr(tmp_path):
+    """Aperio 33003 codestreams carry BT.601 full-range YCbCr samples; the
+    native decode must apply the same integer-exact conversion OpenSlide does
+    (openslide-decode-jp2k.c).  Encode known YCbCr planes losslessly, then
+    compare against a numpy replica of the fixed-point math in j2k.cpp."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    if not _openjp2_available():
+        pytest.skip("libopenjp2 not available")
+    from wsi_util import write_j2k_tiff
+
+    rng = np.random.default_rng(1)
+    ycc = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    path = tmp_path / "j2k_ycc.tif"
+    write_j2k_tiff(path, ycc, compression=33003)
+
+    y = ycc[:, :, 0].astype(np.int32)
+    cb = ycc[:, :, 1].astype(np.int32) - 128
+    cr = ycc[:, :, 2].astype(np.int32) - 128
+    expected = np.clip(
+        np.stack(
+            [
+                y + ((91881 * cr) >> 16),
+                y - ((22553 * cb + 46802 * cr) >> 16),
+                y + ((116130 * cb) >> 16),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    slide = open_slide(path)
+    assert not slide._raw_only
+    region = np.array(slide.read_region((0, 0), 0, (256, 256)))[:, :, :3]
+    np.testing.assert_array_equal(region, expected)
+
+
+def test_native_reader_jpeg2000_parallel_decode(tmp_path, monkeypatch):
+    """The J2K tile decode fans out over worker threads (wsireader.cpp
+    j2k_blit).  Force a 4-thread pool via WSI_J2K_THREADS and check the
+    result is identical to the serial decode — catches races in the
+    shared-TIFF-handle / disjoint-blit protocol."""
+    if _load_native() is None:
+        pytest.skip("native reader not built")
+    if not _openjp2_available():
+        pytest.skip("libopenjp2 not available")
+    from wsi_util import write_j2k_tiff
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 255, (700, 900, 3), dtype=np.uint8)
+    path = tmp_path / "j2k_par.tif"
+    write_j2k_tiff(path, arr, tile=128)
+
+    monkeypatch.setenv("WSI_J2K_THREADS", "1")
+    serial = np.array(open_slide(path).read_region((0, 0), 0, (900, 700)))
+    monkeypatch.setenv("WSI_J2K_THREADS", "4")
+    parallel = np.array(open_slide(path).read_region((0, 0), 0, (900, 700)))
+    np.testing.assert_array_equal(serial, parallel)
+    np.testing.assert_array_equal(parallel[:, :, :3], arr)
 
 
 @pytest.mark.slow
