@@ -656,6 +656,19 @@ int32_t wsi_jxr_decode(const uint8_t* data, int64_t len, uint8_t** out,
 
 void wsi_jxr_free(uint8_t* p) { std::free(p); }
 
+// PIL-exact L24 grayscale (libImaging Convert.c coefficients, fixed-point
+// round-half-up).  The tiling hot loop scores supertiles on this plane;
+// computing it here instead of in numpy ufuncs keeps the Python GIL
+// released for the whole conversion (ctypes drops it for the call), which
+// is what lets tiling worker threads scale across host cores.  The loop
+// auto-vectorizes under -O3.
+void wsi_luma_l24(const uint8_t* rgb, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
+    out[i] = (uint8_t)((r * 19595u + g * 38470u + b * 7471u + 0x8000u) >> 16);
+  }
+}
+
 int32_t wsi_jxr_selftest() try { return jxr::selftest(); } catch (...) {
   return -1;
 }

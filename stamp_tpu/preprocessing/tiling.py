@@ -38,6 +38,7 @@ slide) are kept, matching the reference.
 
 from __future__ import annotations
 
+import ctypes
 import hashlib
 import json
 import logging
@@ -59,6 +60,7 @@ from stamp_tpu.preprocessing.wsi import (
     CTiffSlide,
     ImageSlide,
     MPPExtractionError,
+    _load_native,
     get_slide_mpp_,
     open_slide,
 )
@@ -214,7 +216,24 @@ def _foreground_origins(
 def _pil_luma(rgb_u8: np.ndarray) -> np.ndarray:
     """Grayscale plane bit-identical to PIL ``convert("L")`` (libImaging
     Convert.c L24 coefficients with round-half-up), so Canny rejection
-    matches the reference's per-tile PIL path exactly."""
+    matches the reference's per-tile PIL path exactly.
+
+    Prefers the native kernel (``wsi_luma_l24``): the numpy formulation
+    holds the GIL for the whole uint32 ufunc chain — measured at ~24% of
+    supertile-fetch wall time (scripts/tiling_scaling_probe.py), which is
+    what capped thread scaling of the hot loop across host cores.  The
+    ctypes call releases the GIL instead.
+    """
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "wsi_luma_l24"):
+        rgb = np.ascontiguousarray(rgb_u8)
+        out = np.empty(rgb.shape[:-1], np.uint8)
+        lib.wsi_luma_l24(
+            rgb.ctypes.data_as(ctypes.c_void_p),
+            out.size,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
     px = rgb_u8.astype(np.uint32)
     return (
         (px[..., 0] * 19595 + px[..., 1] * 38470 + px[..., 2] * 7471 + 0x8000) >> 16

@@ -180,6 +180,15 @@ def _load_native() -> ctypes.CDLL | None:
                     ]
                 except AttributeError:
                     pass
+                try:  # GIL-free luma kernel (tiling hot loop); older builds lack it
+                    lib.wsi_luma_l24.restype = None
+                    lib.wsi_luma_l24.argtypes = [
+                        ctypes.c_void_p,  # packed RGB8 in
+                        ctypes.c_int64,  # pixel count
+                        ctypes.c_void_p,  # L8 out
+                    ]
+                except AttributeError:
+                    pass
                 _native = lib
                 break
             except OSError as e:  # pragma: no cover

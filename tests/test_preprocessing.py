@@ -698,3 +698,27 @@ def test_mirax_corrupt_tile_renders_background(tmp_path, caplog):
     assert (full[tile:, tile:] == 255).all()
     # and the degradation is reported
     assert any("failed to decode" in r.message for r in caplog.records)
+
+
+def test_native_luma_matches_pil():
+    """The GIL-free native luma kernel (wsi_luma_l24) is bit-identical to
+    PIL convert("L") — the contract that keeps Canny tile rejection
+    matching the reference's per-tile PIL path exactly."""
+    from stamp_tpu.preprocessing.tiling import _pil_luma
+    from stamp_tpu.preprocessing.wsi import _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "wsi_luma_l24"):
+        pytest.skip("native wsi reader with wsi_luma_l24 not built")
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(511, 257, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        _pil_luma(rgb), np.asarray(Image.fromarray(rgb).convert("L"))
+    )
+    # non-contiguous views must be handled (ascontiguousarray path)
+    view = rgb.transpose(1, 0, 2)
+    np.testing.assert_array_equal(
+        _pil_luma(view),
+        np.asarray(Image.fromarray(np.ascontiguousarray(view)).convert("L")),
+    )
