@@ -53,6 +53,10 @@ ISlide* open_vms_slide(const char* path);   // Hamamatsu VMS/VMU containers
 // reconstruction).  *applicable=false ⇒ not such a file, fall through.
 ISlide* open_ndpi_huge_slide(const char* path, bool* applicable);
 ISlide* open_czi_slide(const char* path);   // Zeiss ZISRAW containers
+// Leica SCN collections (vendor XML semantics: macro exclusion, main-image
+// stitch in collection space).  *applicable=false ⇒ TIFF without an SCN
+// collection XML, fall through to the generic backend.
+ISlide* open_scn_slide(const char* path, bool* applicable);
 
 // Shared libjpeg decode (implemented in mirax.cpp): JPEG bytes → packed
 // RGB.  Returns false on any decode error.

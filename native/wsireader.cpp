@@ -508,6 +508,13 @@ void* wsi_open(const char* path) try {
   if (has_suffix_ci(path, ".vms") || has_suffix_ci(path, ".vmu"))
     return open_vms_slide(path);
   if (has_suffix_ci(path, ".czi")) return open_czi_slide(path);
+  if (has_suffix_ci(path, ".scn")) {
+    // Leica collection semantics (macro exclusion, main-image stitch);
+    // an .scn without the collection XML falls through to generic TIFF
+    bool applicable = false;
+    ISlide* s = open_scn_slide(path, &applicable);
+    if (applicable || s) return s;  // nullptr on a real, named error
+  }
   if (has_suffix_ci(path, ".ndpi")) {
     // classic-TIFF NDPI files over 4 GiB carry wrapped 32-bit offsets that
     // libtiff mis-reads; route them to the offset-reconstructing backend

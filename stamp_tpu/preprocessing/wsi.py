@@ -60,7 +60,10 @@ UNSUPPORTED_CONTAINER_SUFFIXES: set[str] = set()
 
 # vendor containers handled entirely by the native reader
 # (no single-file magic to sniff, no PIL fallback)
-_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu", ".czi"}
+_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu", ".czi", ".scn"}
+# .scn is TIFF-shaped but carries Leica collection semantics (macro
+# exclusion, main-image stitch — native/scn.cpp); a PIL fallback would
+# silently open the macro overview as the slide, so route it native-only.
 
 
 class ImageSlide:
@@ -234,6 +237,22 @@ class CTiffSlide:
         return (
             int(self._lib.wsi_width(self._handle)),
             int(self._lib.wsi_height(self._handle)),
+        )
+
+    @property
+    def level_count(self) -> int:
+        return int(self._lib.wsi_level_count(self._handle))
+
+    @property
+    def level_dimensions(self) -> tuple[tuple[int, int], ...]:
+        """(width, height) per pyramid level, level 0 first — the
+        OpenSlide property of the same name."""
+        return tuple(
+            (
+                int(self._lib.wsi_level_width(self._handle, i)),
+                int(self._lib.wsi_level_height(self._handle, i)),
+            )
+            for i in range(self.level_count)
         )
 
     @property

@@ -19,6 +19,7 @@ from stamp_tpu.types import Microns, TilePixels
 from czi_util import write_czi
 from hamamatsu_util import write_vms
 from ndpi_util import write_big_ndpi
+from scn_util import write_scn
 
 # Small enough that every fixture fits at least two tiles:
 #   CZI    192×128 px @ 0.25 µm/px →  48×32 µm
@@ -52,6 +53,17 @@ def mixed_cohort(tmp_path_factory):
     rgb0 = write_big_ndpi(ndpi_dir / "big.ndpi")  # reports mpp 1.0
     h, w = rgb0.shape[:2]
     sizes_um["big"] = (float(w), float(h))
+
+    scn_dir = root / "leica"
+    scn_dir.mkdir()
+    rng = np.random.default_rng(11)
+    # 96×80 px @ 1000 nm/px = 96×80 µm; macro excluded by the scn backend
+    scn_arr = rng.integers(0, 255, (80, 96, 3), np.uint8)
+    write_scn(
+        scn_dir / "collection.scn",
+        [{"arr": scn_arr, "offset_nm": (2_000_000, 3_000_000), "nm_per_px": 1000.0}],
+    )
+    sizes_um["collection"] = (96.0, 80.0)
 
     return root, sizes_um
 

@@ -29,6 +29,7 @@ from tests.hamamatsu_util import write_vms, write_vmu
 from tests.mirax_util import write_mirax
 from tests.ndpi_huge_util import write_huge_ndpi
 from tests.wsi_golden import write_golden_slide
+from tests.scn_util import write_scn
 from tests.wsi_util import write_j2k_tiff
 
 NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
@@ -103,6 +104,24 @@ def corpus(tmp_path_factory) -> list[Path]:
     czi_jxr_bad = subdir("czi_jxr_bad") / "mosaic_jxr_bad.czi"  # error path
     write_czi(czi_jxr_bad, jpegxr_corrupt=True)
     slides.append(czi_jxr_bad)
+
+    scn = subdir("scn") / "collection.scn"  # Leica XML + stitched mains
+    write_scn(
+        scn,
+        [
+            {
+                "arr": rng.integers(0, 255, (96, 80, 3), np.uint8),
+                "offset_nm": (1_000_000, 1_000_000),
+                "nm_per_px": 250.0,
+            },
+            {
+                "arr": rng.integers(0, 255, (96, 80, 3), np.uint8),
+                "offset_nm": (1_030_000, 1_000_000),
+                "nm_per_px": 250.0,
+            },
+        ],
+    )
+    slides.append(scn)
 
     return slides
 
