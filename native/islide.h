@@ -57,6 +57,13 @@ ISlide* open_czi_slide(const char* path);   // Zeiss ZISRAW containers
 // stitch in collection space).  *applicable=false ⇒ TIFF without an SCN
 // collection XML, fall through to the generic backend.
 ISlide* open_scn_slide(const char* path, bool* applicable);
+// Ventana BIF (iScan mpp, level markers, loud multi-AOI refusal).
+// *applicable=false ⇒ no iScan metadata, fall through to generic TIFF.
+ISlide* open_bif_slide(const char* path, bool* applicable);
+// Akoya/PerkinElmer QPTIFF (ImageType-driven pyramid, thumbnail exclusion,
+// loud multiplexed-IF refusal).  *applicable=false ⇒ no QPI description,
+// fall through to generic TIFF.
+ISlide* open_qptiff_slide(const char* path, bool* applicable);
 
 // Shared libjpeg decode (implemented in mirax.cpp): JPEG bytes → packed
 // RGB.  Returns false on any decode error.

@@ -515,6 +515,18 @@ void* wsi_open(const char* path) try {
     ISlide* s = open_scn_slide(path, &applicable);
     if (applicable || s) return s;  // nullptr on a real, named error
   }
+  if (has_suffix_ci(path, ".bif")) {
+    // Ventana semantics (iScan mpp, level markers, loud multi-AOI refusal)
+    bool applicable = false;
+    ISlide* s = open_bif_slide(path, &applicable);
+    if (applicable || s) return s;
+  }
+  if (has_suffix_ci(path, ".qptiff") || has_suffix_ci(path, ".qptif")) {
+    // Akoya semantics (ImageType pyramid, loud multiplexed-IF refusal)
+    bool applicable = false;
+    ISlide* s = open_qptiff_slide(path, &applicable);
+    if (applicable || s) return s;
+  }
   if (has_suffix_ci(path, ".ndpi")) {
     // classic-TIFF NDPI files over 4 GiB carry wrapped 32-bit offsets that
     // libtiff mis-reads; route them to the offset-reconstructing backend

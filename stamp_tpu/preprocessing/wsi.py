@@ -60,10 +60,14 @@ UNSUPPORTED_CONTAINER_SUFFIXES: set[str] = set()
 
 # vendor containers handled entirely by the native reader
 # (no single-file magic to sniff, no PIL fallback)
-_NATIVE_CONTAINER_SUFFIXES = {".mrxs", ".vms", ".vmu", ".czi", ".scn"}
-# .scn is TIFF-shaped but carries Leica collection semantics (macro
-# exclusion, main-image stitch — native/scn.cpp); a PIL fallback would
-# silently open the macro overview as the slide, so route it native-only.
+_NATIVE_CONTAINER_SUFFIXES = {
+    ".mrxs", ".vms", ".vmu", ".czi", ".scn", ".bif", ".qptiff", ".qptif",
+}
+# .scn/.bif/.qptiff are TIFF-shaped but carry vendor semantics (Leica
+# collection stitch in native/scn.cpp, Ventana iScan metadata in
+# native/bif.cpp, Akoya ImageType pyramid + multiplexed-IF refusal in
+# native/qptiff.cpp); a PIL fallback would silently open the
+# macro/thumbnail/first-band image, so route them native-only.
 
 
 class ImageSlide:

@@ -47,12 +47,24 @@ class _TiffBuilder:
         self.buf += data
         return off
 
-    def add_dir(self, arr: np.ndarray, description: str | None = None) -> int:
-        """Append one tiled RGB directory; returns its directory index."""
+    def add_dir(
+        self,
+        arr: np.ndarray,
+        description: str | None = None,
+        resolution_px_per_cm: float | None = None,
+    ) -> int:
+        """Append one tiled directory; returns its directory index.
+
+        ``arr`` is (h, w, 3) uint8 for RGB or (h, w) uint8 for grayscale
+        (min-is-black, the layout multiplexed QPTIFF bands use).
+        """
+        gray = arr.ndim == 2
+        spp = 1 if gray else 3
         h, w = arr.shape[:2]
         tiles_x = -(-w // _TILE)
         tiles_y = -(-h // _TILE)
-        padded = np.full((tiles_y * _TILE, tiles_x * _TILE, 3), 255, np.uint8)
+        pad_shape = (tiles_y * _TILE, tiles_x * _TILE) + (() if gray else (3,))
+        padded = np.full(pad_shape, 255, np.uint8)
         padded[:h, :w] = arr
 
         offsets, counts = [], []
@@ -67,23 +79,34 @@ class _TiffBuilder:
                 offsets.append(self._append(tile))
                 counts.append(len(tile))
 
-        bits_off = self._append(struct.pack("<3H", 8, 8, 8))
         offs_off = self._append(struct.pack(f"<{len(offsets)}I", *offsets))
         cnts_off = self._append(struct.pack(f"<{len(counts)}I", *counts))
 
         entries = [
             (256, _LONG, 1, w),
             (257, _LONG, 1, h),
-            (258, _SHORT, 3, bits_off),
             (259, _SHORT, 1, 8),  # Deflate (zlib)
-            (262, _SHORT, 1, 2),  # RGB
-            (277, _SHORT, 1, 3),
+            (262, _SHORT, 1, 1 if gray else 2),  # min-is-black / RGB
+            (277, _SHORT, 1, spp),
             (284, _SHORT, 1, 1),
             (322, _LONG, 1, _TILE),
             (323, _LONG, 1, _TILE),
             (324, _LONG, len(offsets), offs_off),
             (325, _LONG, len(counts), cnts_off),
         ]
+        if gray:
+            entries.append((258, _SHORT, 1, 8))
+        else:
+            bits_off = self._append(struct.pack("<3H", 8, 8, 8))
+            entries.append((258, _SHORT, 3, bits_off))
+        if resolution_px_per_cm is not None:
+            # XResolution/YResolution as RATIONALs, ResolutionUnit = cm
+            num = int(round(resolution_px_per_cm * 1000))
+            rat = self._append(struct.pack("<2I", num, 1000))
+            rat2 = self._append(struct.pack("<2I", num, 1000))
+            entries.append((282, 5, 1, rat))
+            entries.append((283, 5, 1, rat2))
+            entries.append((296, _SHORT, 1, 3))
         if description is not None:
             raw = description.encode() + b"\0"
             entries.append((270, _ASCII, len(raw), self._append(raw)))

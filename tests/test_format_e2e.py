@@ -16,9 +16,11 @@ import pytest
 from stamp_tpu.preprocessing.extract import extract_
 from stamp_tpu.types import Microns, TilePixels
 
+from bif_util import write_bif
 from czi_util import write_czi
 from hamamatsu_util import write_vms
 from ndpi_util import write_big_ndpi
+from qptiff_util import write_qptiff_brightfield
 from scn_util import write_scn
 
 # Small enough that every fixture fits at least two tiles:
@@ -64,6 +66,20 @@ def mixed_cohort(tmp_path_factory):
         [{"arr": scn_arr, "offset_nm": (2_000_000, 3_000_000), "nm_per_px": 1000.0}],
     )
     sizes_um["collection"] = (96.0, 80.0)
+
+    bif_dir = root / "ventana"
+    bif_dir.mkdir()
+    # 72×104 px @ 1.0 µm/px (ScanRes attr); thumbnail/label dirs excluded
+    bif_arr = rng.integers(0, 255, (72, 104, 3), np.uint8)
+    write_bif(bif_dir / "ventana.bif", bif_arr, mpp=1.0)
+    sizes_um["ventana"] = (104.0, 72.0)
+
+    qp_dir = root / "akoya"
+    qp_dir.mkdir()
+    # 88×112 px @ 1.0 µm/px (resolution tags); ImageType pyramid selection
+    qp_arr = rng.integers(0, 255, (88, 112, 3), np.uint8)
+    write_qptiff_brightfield(qp_dir / "vectra.qptiff", qp_arr, mpp=1.0)
+    sizes_um["vectra"] = (112.0, 88.0)
 
     return root, sizes_um
 

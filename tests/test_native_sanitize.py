@@ -123,6 +123,18 @@ def corpus(tmp_path_factory) -> list[Path]:
     )
     slides.append(scn)
 
+    from tests.bif_util import write_bif
+
+    bif = subdir("bif") / "slide.bif"  # Ventana iScan metadata + pyramid
+    write_bif(bif, rng.integers(0, 255, (96, 128, 3), np.uint8))
+    slides.append(bif)
+
+    from tests.qptiff_util import write_qptiff_brightfield
+
+    qp = subdir("qptiff") / "slide.qptiff"  # Akoya QPI brightfield layout
+    write_qptiff_brightfield(qp, rng.integers(0, 255, (96, 128, 3), np.uint8))
+    slides.append(qp)
+
     return slides
 
 
