@@ -193,6 +193,27 @@ def _run_heatmaps(config: Any, section: Any) -> None:
     )
 
 
+def _run_export_ckpt(src: Path, dst: Path) -> None:
+    """Convert between the npz checkpoint and the reference's Lightning
+    format, whichever direction the source file calls for."""
+    from stamp_tpu.modeling.checkpoint import save_checkpoint
+    from stamp_tpu.modeling.interop import (
+        export_reference_checkpoint,
+        is_reference_checkpoint,
+        load_reference_checkpoint,
+    )
+
+    if is_reference_checkpoint(src):
+        model, variables = load_reference_checkpoint(src)
+        save_checkpoint(
+            dst, hyper_parameters=model.checkpoint_hparams(), variables=variables
+        )
+        _logger.info(f"converted reference Lightning checkpoint {src} -> npz {dst}")
+    else:
+        export_reference_checkpoint(src, dst)
+        _logger.info(f"converted npz checkpoint {src} -> reference Lightning {dst}")
+
+
 @dataclass(frozen=True)
 class _Command:
     help: str
@@ -258,6 +279,11 @@ _COMMANDS: dict[str, _Command] = {
         run=_run_statistics,
     ),
     "config": _Command(help="Print the loaded configuration"),
+    "export_ckpt": _Command(
+        help="Convert a model checkpoint between this framework's npz format "
+        "and the reference's Lightning .ckpt (direction inferred from the "
+        "source file; see modeling/interop.py)",
+    ),
     "heatmaps": _Command(
         help="Generate heatmaps for a trained model",
         section="heatmaps",
@@ -283,6 +309,10 @@ def _run_cli(args: argparse.Namespace) -> None:
 
     if args.command == "init":
         _create_config_file(args.config_file_path)
+        return
+
+    if args.command == "export_ckpt":
+        _run_export_ckpt(args.src, args.dst)
         return
 
     from stamp_tpu.modeling.config import (
@@ -357,7 +387,10 @@ def main() -> None:
 
     subparsers = parser.add_subparsers(dest="command")
     for name, command in _COMMANDS.items():
-        subparsers.add_parser(name, help=command.help)
+        sub = subparsers.add_parser(name, help=command.help)
+        if name == "export_ckpt":
+            sub.add_argument("src", type=Path, help="checkpoint to convert")
+            sub.add_argument("dst", type=Path, help="output path")
 
     args = parser.parse_args()
 

@@ -1,4 +1,5 @@
-"""Reference-checkpoint interop: load KatherLab/STAMP Lightning ``.ckpt``s.
+"""Reference-checkpoint interop: load AND export KatherLab/STAMP Lightning
+``.ckpt``s.
 
 The reference saves Lightning checkpoints (a torch zip archive holding
 ``hyper_parameters`` + a ``state_dict`` with ``model.*``-prefixed torch
@@ -9,6 +10,11 @@ a checkpoint directly: hparams are translated to this framework's task
 wrappers and the torch state dict is converted, key by key, into the flax
 variable tree (transposed Dense kernels, fused per-head ALiBi projections,
 Welford buffers into the ``alibi_stats`` collection).
+
+The reverse direction, ``save_reference_checkpoint`` /
+``export_reference_checkpoint``, inverts the same mapping so a model
+trained here can be deployed by the reference pipeline — the interop is
+round-trip (train either side, deploy either side).
 
 Security: reference checkpoints are pickle-based by construction, so they
 are loaded with ``torch.load(weights_only=True)`` plus a minimal allowlist
@@ -32,7 +38,12 @@ import numpy as np
 
 _logger = logging.getLogger("stamp")
 
-__all__ = ["is_reference_checkpoint", "load_reference_checkpoint"]
+__all__ = [
+    "is_reference_checkpoint",
+    "load_reference_checkpoint",
+    "save_reference_checkpoint",
+    "export_reference_checkpoint",
+]
 
 
 def is_reference_checkpoint(path: Path | str) -> bool:
@@ -297,3 +308,185 @@ def load_reference_checkpoint(path: Path | str):
         f"({model_name}, task={hp.get('task')})"
     )
     return model, variables
+
+
+# ---------------------------------------------------------------------------
+# Export: flax variable tree → reference Lightning checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _t(arr: np.ndarray) -> Any:
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+
+
+def _dense_out(sd: dict[str, Any], key: str, dense: dict[str, Any]) -> None:
+    """flax Dense → torch ``nn.Linear``: kernel [in, out] → weight [out, in]."""
+    sd[f"{key}.weight"] = _t(np.asarray(dense["kernel"]).T)
+    if "bias" in dense:
+        sd[f"{key}.bias"] = _t(dense["bias"])
+
+
+def _layernorm_out(sd: dict[str, Any], key: str, ln: dict[str, Any]) -> None:
+    sd[f"{key}.weight"] = _t(ln["scale"])
+    sd[f"{key}.bias"] = _t(ln["bias"])
+
+
+def _split_per_head(
+    sd: dict[str, Any], prefix: str, fused: dict[str, Any], n_heads: int
+) -> None:
+    """One fused Dense → the reference's per-head ``nn.Linear`` list
+    (inverse of ``_fused_per_head``: W_h = kernel[:, h*hd:(h+1)*hd].T)."""
+    kernel = np.asarray(fused["kernel"])
+    bias = np.asarray(fused["bias"])
+    hd = kernel.shape[1] // n_heads
+    for h in range(n_heads):
+        sd[f"{prefix}.{h}.weight"] = _t(kernel[:, h * hd : (h + 1) * hd].T)
+        sd[f"{prefix}.{h}.bias"] = _t(bias[h * hd : (h + 1) * hd])
+
+
+def _export_vit(
+    variables: dict[str, Any], *, n_layers: int, n_heads: int, use_alibi: bool
+) -> dict[str, Any]:
+    """Inverse of ``_convert_vit`` — emits the reference VisionTransformer
+    state-dict key layout (reference vision_tranformer.py)."""
+    params = variables["params"]
+    sd: dict[str, Any] = {"class_token": _t(params["class_token"])}
+    _dense_out(sd, "project_features.0", params["project"])
+    _layernorm_out(sd, "transformer.norm", params["norm"])
+    _dense_out(sd, "mlp_head.0", params["head"])
+
+    for i in range(n_layers):
+        block = params[f"block_{i}"]
+        ref = f"transformer.layers.{i}"
+        _layernorm_out(sd, f"{ref}.0.norm", block["attn_norm"])
+        _layernorm_out(sd, f"{ref}.1.0", block["ff"]["norm"])
+        _dense_out(sd, f"{ref}.1.1", block["ff"]["fc1"])
+        _dense_out(sd, f"{ref}.1.4", block["ff"]["fc2"])
+        a = f"{ref}.0.mhsa"
+        if use_alibi:
+            mhsa = block["mhsa"]
+            _split_per_head(sd, f"{a}.query_encoders", mhsa["q_proj"], n_heads)
+            _split_per_head(sd, f"{a}.key_encoders", mhsa["k_proj"], n_heads)
+            _split_per_head(sd, f"{a}.value_encoders", mhsa["v_proj"], n_heads)
+            _dense_out(sd, f"{a}.fc", mhsa["fc"])
+            bias_scale = np.asarray(mhsa["bias_scale"])
+            stats = variables["alibi_stats"][f"block_{i}"]["mhsa"]
+            running_mean = np.asarray(stats["running_mean"])
+            items_so_far = np.asarray(stats["items_so_far"])
+            for h in range(n_heads):
+                sd[f"{a}.attentions.{h}.bias_scale"] = _t(bias_scale[h : h + 1])
+                sd[f"{a}.attentions.{h}.scale_distance.running_mean"] = _t(
+                    running_mean[h : h + 1]
+                )
+                sd[f"{a}.attentions.{h}.scale_distance.items_so_far"] = _t(
+                    items_so_far[h : h + 1]
+                )
+        else:
+            mhsa = block["mhsa"]
+            sd[f"{a}.in_proj_weight"] = _t(np.asarray(mhsa["in_proj"]["kernel"]).T)
+            sd[f"{a}.in_proj_bias"] = _t(mhsa["in_proj"]["bias"])
+            _dense_out(sd, f"{a}.out_proj", mhsa["out_proj"])
+    return sd
+
+
+def _export_mlp(variables: dict[str, Any], *, num_layers: int) -> dict[str, Any]:
+    params = variables["params"]
+    sd: dict[str, Any] = {}
+    for i in range(num_layers - 1):
+        _dense_out(sd, f"mlp.{3 * i}", params[f"fc{i}"])
+    _dense_out(sd, f"mlp.{3 * (num_layers - 1)}", params["out"])
+    return sd
+
+
+def _export_linear(variables: dict[str, Any]) -> dict[str, Any]:
+    sd: dict[str, Any] = {}
+    _dense_out(sd, "fc", variables["params"]["fc"])
+    return sd
+
+
+def _torchify_hparams(hp: dict[str, Any]) -> dict[str, Any]:
+    """Repo hparams → the reference's hyper_parameters conventions:
+    ``category_weights`` as a torch tensor, ``stamp_version`` as a
+    packaging ``Version`` (what Lightning pickles on the reference side)."""
+    import torch
+    from packaging.version import Version
+
+    import stamp_tpu
+
+    out = {k: v for k, v in hp.items() if k != "model_class" and v is not None}
+    if "category_weights" in out:
+        out["category_weights"] = torch.as_tensor(
+            np.asarray(out["category_weights"], dtype=np.float32)
+        )
+    out["stamp_version"] = Version(
+        str(out.get("stamp_version", stamp_tpu.__version__))
+    )
+    return out
+
+
+def save_reference_checkpoint(
+    path: Path | str, *, hyper_parameters: dict[str, Any], variables: Any
+) -> None:
+    """Write a Lightning ``.ckpt`` the reference pipeline can deploy.
+
+    Inverts the load-direction conversion: the flax variable tree becomes a
+    ``model.*``-prefixed torch state dict in the reference's exact key
+    layout, hparams become ``hyper_parameters``.  The reference's
+    ``load_model_from_ckpt`` (deploy.py:49-58) re-instantiates from these
+    hparams and loads the state dict strictly, so the export must consume
+    the full tree — asserted by the round-trip test
+    (tests/test_interop.py::test_export_roundtrip).
+    """
+    import torch
+
+    path = Path(path)
+    hp = dict(hyper_parameters)
+    model_name = str(hp.get("model_name", ""))
+    if model_name == "vit":
+        sd = _export_vit(
+            variables,
+            n_layers=int(hp.get("n_layers", 2)),
+            n_heads=int(hp.get("n_heads", 8)),
+            use_alibi=bool(hp.get("use_alibi", False)),
+        )
+    elif model_name == "mlp":
+        sd = _export_mlp(variables, num_layers=int(hp.get("num_layers", 2)))
+    elif model_name == "linear":
+        sd = _export_linear(variables)
+    else:
+        raise ValueError(
+            f"reference checkpoint export supports vit/mlp/linear backbones; "
+            f"got {model_name!r} (trans_mil/barspoon have no reference "
+            "hparams-reinstantiation contract)."
+        )
+
+    ckpt = {
+        "state_dict": {f"model.{k}": v for k, v in sd.items()},
+        "hyper_parameters": _torchify_hparams(hp),
+        "epoch": 0,
+        "global_step": int(hp.get("total_steps", 0)),
+        # Lightning's checkpoint migration reads this key unconditionally
+        "pytorch-lightning_version": "2.5.0",
+    }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    torch.save(ckpt, tmp)
+    tmp.rename(path)
+    _logger.info(
+        f"exported reference Lightning checkpoint {path.name} ({model_name})"
+    )
+
+
+def export_reference_checkpoint(src: Path | str, dst: Path | str) -> None:
+    """Convert a stamp-tpu npz ``model.ckpt`` into a reference Lightning
+    ``.ckpt`` (the other direction of ``load_reference_checkpoint``)."""
+    from stamp_tpu.modeling.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(src)
+    save_reference_checkpoint(
+        Path(dst),
+        hyper_parameters=ckpt["hyper_parameters"],
+        variables=ckpt["variables"],
+    )

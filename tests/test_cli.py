@@ -31,6 +31,7 @@ def test_cli_help():
         "statistics",
         "config",
         "heatmaps",
+        "export_ckpt",
     ]:
         assert cmd in res.stdout
 
@@ -173,3 +174,53 @@ preprocessing:
     assert "per-stage wall time" in log
     assert "preprocess/tiling" in log
     assert "preprocess/h5_write" in log
+
+
+def test_cli_export_ckpt_roundtrip(tmp_path):
+    """`stamp export_ckpt` converts npz → Lightning → npz bit-exactly."""
+    import jax
+    import numpy as np
+
+    from stamp_tpu.modeling.checkpoint import save_checkpoint
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+    from stamp_tpu.models.vision_transformer import VisionTransformer
+
+    model = LitTileClassifier(
+        model_class=VisionTransformer,
+        ground_truth_label="gt",
+        categories=["neg", "pos"],
+        category_weights=np.array([0.5, 0.5], np.float32),
+        dim_input=8,
+        model_name="vit",
+        dim_model=16,
+        dim_feedforward=16,
+        n_heads=4,
+        n_layers=1,
+        use_alibi=False,
+        total_steps=4,
+    )
+    batch = (
+        np.zeros((1, 4, 8), np.float32),
+        np.zeros((1, 4, 2), np.float32),
+        np.array([4], np.int32),
+        np.zeros((1, 2), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    npz = tmp_path / "model.ckpt"
+    save_checkpoint(
+        npz, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+
+    lightning = tmp_path / "model.lightning.ckpt"
+    res = _run("export_ckpt", str(npz), str(lightning))
+    assert res.returncode == 0, res.stderr
+    back = tmp_path / "model.back.ckpt"
+    res = _run("export_ckpt", str(lightning), str(back))
+    assert res.returncode == 0, res.stderr
+
+    a = np.load(npz, allow_pickle=False)
+    b = np.load(back, allow_pickle=False)
+    var_keys = {k for k in a.files if k.startswith("var:")}
+    assert var_keys == {k for k in b.files if k.startswith("var:")}
+    for k in var_keys:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)

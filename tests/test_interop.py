@@ -339,3 +339,99 @@ def test_reference_ckpt_deploys_end_to_end(tmp_path):
     assert len(df) == 6
     score_cols = [f"ground-truth_{c}" for c in cats]
     assert ((df[score_cols].sum(axis=1) - 1).abs() < 1e-5).all()
+
+
+# ---------------------------------------------------------------------------
+# Export direction (repo → reference Lightning format)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_alibi", [False, True])
+def test_export_roundtrip(tmp_path, use_alibi):
+    """export(load(ckpt)) reproduces the reference checkpoint exactly: same
+    state-dict keys, equal tensors, and an equal forward after re-loading."""
+    from stamp_tpu.modeling.interop import save_reference_checkpoint
+
+    torch.manual_seed(0)
+    dim_input = 24
+    oracle = _OracleViT(dim_input, 2, 32, 2, 4, 48, use_alibi).eval()
+    src = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(
+        src, _vit_reference_state_dict(oracle), _vit_hparams(dim_input, use_alibi)
+    )
+
+    model, variables = load_model_from_ckpt(src)
+    dst = tmp_path / "exported.ckpt"
+    save_reference_checkpoint(
+        dst, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+
+    want = torch.load(src, map_location="cpu", weights_only=False)
+    got = torch.load(dst, map_location="cpu", weights_only=False)
+    assert set(got["state_dict"]) == set(want["state_dict"])
+    for k, v in want["state_dict"].items():
+        np.testing.assert_allclose(
+            got["state_dict"][k].numpy(), v.numpy(), atol=1e-6,
+            err_msg=k,
+        )
+    assert "pytorch-lightning_version" in got
+    hp = got["hyper_parameters"]
+    assert hp["model_name"] == "vit"
+    assert isinstance(hp["category_weights"], torch.Tensor)
+
+    # the exported file loads back through the same interop path
+    model2, variables2 = load_model_from_ckpt(dst)
+    rng = np.random.default_rng(0)
+    bags = rng.normal(size=(2, 15, dim_input)).astype(np.float32)
+    coords = (rng.uniform(size=(2, 15, 2)) * 2000).astype(np.float32)
+    a = np.asarray(model.module.apply(variables, bags, coords=coords, train=False))
+    b = np.asarray(model2.module.apply(variables2, bags, coords=coords, train=False))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_export_repo_trained_checkpoint(tmp_path):
+    """A checkpoint trained by THIS framework (npz) converts to a
+    reference-deployable Lightning file via export_reference_checkpoint."""
+    import jax
+
+    from stamp_tpu.modeling.checkpoint import save_checkpoint
+    from stamp_tpu.modeling.interop import export_reference_checkpoint
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+    from stamp_tpu.models.vision_transformer import VisionTransformer
+
+    model = LitTileClassifier(
+        model_class=VisionTransformer,
+        ground_truth_label="gt",
+        categories=["neg", "pos"],
+        category_weights=np.array([0.5, 0.5], np.float32),
+        dim_input=16,
+        model_name="vit",
+        dim_model=32,
+        dim_feedforward=48,
+        n_heads=4,
+        n_layers=2,
+        use_alibi=True,
+        total_steps=8,
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(2, 8, 16)).astype(np.float32),
+        (rng.uniform(size=(2, 8, 2)) * 100).astype(np.float32),
+        np.array([8, 8], np.int32),
+        np.zeros((2, 2), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+
+    npz = tmp_path / "model.ckpt"
+    save_checkpoint(npz, hyper_parameters=model.checkpoint_hparams(), variables=variables)
+    out = tmp_path / "model.lightning.ckpt"
+    export_reference_checkpoint(npz, out)
+
+    model2, variables2 = load_model_from_ckpt(out)
+    a = np.asarray(
+        model.module.apply(variables, batch[0], coords=batch[1], train=False)
+    )
+    b = np.asarray(
+        model2.module.apply(variables2, batch[0], coords=batch[1], train=False)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
