@@ -22,9 +22,10 @@ are loaded with ``torch.load(weights_only=True)`` plus a minimal allowlist
 a checkpoint carrying arbitrary pickled objects is rejected with the
 offending global named.  There is deliberately no unsafe fallback.
 
-Supported backbones: vit (with/without ALiBi), mlp, linear — the reference's
-default models for every feature type.  trans_mil / barspoon reference
-checkpoints are rejected with a clear message (re-train or export npz).
+Supported backbones: vit (with/without ALiBi), mlp, linear, trans_mil —
+every backbone the reference re-instantiates from hparams.  barspoon
+reference checkpoints are rejected with a clear message (the reference's
+barspoon path has no hparams-reinstantiation contract).
 """
 
 from __future__ import annotations
@@ -241,6 +242,54 @@ def _convert_linear(sd: dict[str, np.ndarray]) -> dict[str, Any]:
     return {"params": {"fc": _dense(sd, "fc")}}
 
 
+def _dwconv_in(sd: dict[str, np.ndarray], key: str) -> np.ndarray:
+    """torch depthwise ``nn.Conv2d`` (groups=C) weight [C, 1, kh, kw] →
+    flax HWIO kernel [kh, kw, 1, C]."""
+    return np.ascontiguousarray(sd.pop(f"{key}.weight").transpose(2, 3, 1, 0))
+
+
+def _convert_trans_mil(sd: dict[str, np.ndarray]) -> dict[str, Any]:
+    """Reference TransMIL state dict → our flax variables.
+
+    Layout per reference trans_mil.py:286-326: ``_fc1.0`` (Linear),
+    ``cls_token``, two ``Transformer`` blocks (``layer{1,2}.norm`` +
+    ``.attn`` NystromAttention: bias-free ``to_qkv``, ``to_out.0`` Linear,
+    bias-free depthwise ``res_conv``), the ``pos_layer`` PPEG (depthwise
+    7/5/3 convs with bias), final ``norm`` and ``_fc2``.
+    """
+
+    def attn_layer(name: str) -> dict[str, Any]:
+        a = f"{name}.attn"
+        return {
+            "norm": _layernorm(sd, f"{name}.norm"),
+            "attn": {
+                "to_qkv": {
+                    "kernel": np.ascontiguousarray(sd.pop(f"{a}.to_qkv.weight").T)
+                },
+                "to_out": _dense(sd, f"{a}.to_out.0"),
+                "res_conv_kernel": _dwconv_in(sd, f"{a}.res_conv"),
+            },
+        }
+
+    params: dict[str, Any] = {
+        "fc1": _dense(sd, "_fc1.0"),
+        "cls_token": sd.pop("cls_token"),
+        "layer1": attn_layer("layer1"),
+        "layer2": attn_layer("layer2"),
+        "pos_layer": {
+            "proj_kernel": _dwconv_in(sd, "pos_layer.proj"),
+            "proj_bias": sd.pop("pos_layer.proj.bias"),
+            "proj1_kernel": _dwconv_in(sd, "pos_layer.proj1"),
+            "proj1_bias": sd.pop("pos_layer.proj1.bias"),
+            "proj2_kernel": _dwconv_in(sd, "pos_layer.proj2"),
+            "proj2_bias": sd.pop("pos_layer.proj2.bias"),
+        },
+        "norm": _layernorm(sd, "norm"),
+        "fc2": _dense(sd, "_fc2"),
+    }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # Entry point
 # ---------------------------------------------------------------------------
@@ -264,11 +313,12 @@ def load_reference_checkpoint(path: Path | str):
     hp = {str(k): _plain(v) for k, v in ckpt["hyper_parameters"].items()}
 
     model_name = str(hp.get("model_name", ""))
-    if model_name not in ("vit", "mlp", "linear"):
+    if model_name not in ("vit", "mlp", "linear", "trans_mil"):
         raise ValueError(
-            f"reference checkpoint interop supports vit/mlp/linear backbones; "
-            f"this checkpoint uses {model_name!r}. Re-train with this "
-            "framework (or export the model as an npz checkpoint) instead."
+            f"reference checkpoint interop supports vit/mlp/linear/trans_mil "
+            f"backbones; this checkpoint uses {model_name!r}. Re-train with "
+            "this framework (or export the model as an npz checkpoint) "
+            "instead."
         )
 
     # model.* weights; anything else (class_weights buffer, torchmetrics
@@ -294,6 +344,8 @@ def load_reference_checkpoint(path: Path | str):
         )
     elif model_name == "mlp":
         variables = _convert_mlp(sd, num_layers=int(hp.get("num_layers", 2)))
+    elif model_name == "trans_mil":
+        variables = _convert_trans_mil(sd)
     else:
         variables = _convert_linear(sd)
 
@@ -406,6 +458,34 @@ def _export_linear(variables: dict[str, Any]) -> dict[str, Any]:
     return sd
 
 
+def _dwconv_out(sd: dict[str, Any], key: str, kernel: np.ndarray) -> None:
+    """flax HWIO depthwise kernel [kh, kw, 1, C] → torch [C, 1, kh, kw]."""
+    sd[f"{key}.weight"] = _t(np.asarray(kernel).transpose(3, 2, 0, 1))
+
+
+def _export_trans_mil(variables: dict[str, Any]) -> dict[str, Any]:
+    """Inverse of ``_convert_trans_mil``."""
+    params = variables["params"]
+    sd: dict[str, Any] = {"cls_token": _t(params["cls_token"])}
+    _dense_out(sd, "_fc1.0", params["fc1"])
+    _layernorm_out(sd, "norm", params["norm"])
+    _dense_out(sd, "_fc2", params["fc2"])
+    for name in ("layer1", "layer2"):
+        layer = params[name]
+        _layernorm_out(sd, f"{name}.norm", layer["norm"])
+        attn = layer["attn"]
+        sd[f"{name}.attn.to_qkv.weight"] = _t(
+            np.asarray(attn["to_qkv"]["kernel"]).T
+        )
+        _dense_out(sd, f"{name}.attn.to_out.0", attn["to_out"])
+        _dwconv_out(sd, f"{name}.attn.res_conv", attn["res_conv_kernel"])
+    pos = params["pos_layer"]
+    for torch_name, ours in (("proj", "proj"), ("proj1", "proj1"), ("proj2", "proj2")):
+        _dwconv_out(sd, f"pos_layer.{torch_name}", pos[f"{ours}_kernel"])
+        sd[f"pos_layer.{torch_name}.bias"] = _t(pos[f"{ours}_bias"])
+    return sd
+
+
 def _torchify_hparams(hp: dict[str, Any]) -> dict[str, Any]:
     """Repo hparams → the reference's hyper_parameters conventions:
     ``category_weights`` as a torch tensor, ``stamp_version`` as a
@@ -455,10 +535,12 @@ def save_reference_checkpoint(
         sd = _export_mlp(variables, num_layers=int(hp.get("num_layers", 2)))
     elif model_name == "linear":
         sd = _export_linear(variables)
+    elif model_name == "trans_mil":
+        sd = _export_trans_mil(variables)
     else:
         raise ValueError(
-            f"reference checkpoint export supports vit/mlp/linear backbones; "
-            f"got {model_name!r} (trans_mil/barspoon have no reference "
+            f"reference checkpoint export supports vit/mlp/linear/trans_mil "
+            f"backbones; got {model_name!r} (barspoon has no reference "
             "hparams-reinstantiation contract)."
         )
 

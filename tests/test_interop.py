@@ -435,3 +435,157 @@ def test_export_repo_trained_checkpoint(tmp_path):
         model2.module.apply(variables2, batch[0], coords=batch[1], train=False)
     )
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# TransMIL interop (Nyström attention backbone)
+# ---------------------------------------------------------------------------
+
+
+def _mp_pinv(x: torch.Tensor, iters: int = 6) -> torch.Tensor:
+    z = x.transpose(-1, -2) / (x.abs().sum(-1).max() * x.abs().sum(-2).max())
+    ident = torch.eye(x.shape[-1]).expand_as(x)
+    for _ in range(iters):
+        xz = x @ z
+        z = 0.25 * z @ (13 * ident - xz @ (15 * ident - xz @ (7 * ident - xz)))
+    return z
+
+
+class _OracleNystrom(nn.Module):
+    """Independent torch statement of the reference Nyström attention
+    (trans_mil.py:43-167): left-pad to a landmark multiple, sum-pooled
+    landmarks, three softmax kernels bridged by an iterative pinv, plus a
+    depthwise residual conv over the value heads."""
+
+    def __init__(self, dim: int, heads: int = 8) -> None:
+        super().__init__()
+        self.heads, self.dim_head = heads, dim // heads
+        self.landmarks = dim // 2
+        self.to_qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(dim, dim), nn.Dropout(0.0))
+        self.res_conv = nn.Conv2d(heads, heads, (33, 1), padding=(16, 0),
+                                  groups=heads, bias=False)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        b, n, _ = x.shape
+        m, h, dh = self.landmarks, self.heads, self.dim_head
+        if n % m:
+            x = torch.nn.functional.pad(x, (0, 0, m - n % m, 0))
+        np_ = x.shape[1]
+        q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = (t.view(b, np_, h, dh).permute(0, 2, 1, 3) for t in (q, k, v))
+        q = q * dh**-0.5
+        lsz = (n + m - 1) // m  # ceil(n / m), the landmark pool width
+        ql = q.view(b, h, np_ // lsz, lsz, dh).sum(3) / lsz
+        kl = k.view(b, h, np_ // lsz, lsz, dh).sum(3) / lsz
+        s1 = torch.einsum("bhid,bhjd->bhij", q, kl).softmax(-1)
+        s2 = torch.einsum("bhid,bhjd->bhij", ql, kl).softmax(-1)
+        s3 = torch.einsum("bhid,bhjd->bhij", ql, k).softmax(-1)
+        out = (s1 @ _mp_pinv(s2)) @ (s3 @ v) + self.res_conv(v)
+        out = out.permute(0, 2, 1, 3).reshape(b, np_, h * dh)
+        return self.to_out(out)[:, -n:]
+
+
+class _OracleTransMIL(nn.Module):
+    def __init__(self, dim_input: int, dim_hidden: int, n_out: int) -> None:
+        super().__init__()
+        self._fc1 = nn.Sequential(nn.Linear(dim_input, dim_hidden), nn.ReLU())
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim_hidden))
+        self.layer1 = _OracleTransLayer(dim_hidden)
+        self.layer2 = _OracleTransLayer(dim_hidden)
+        self.pos_layer = _OraclePPEG(dim_hidden)
+        self.norm = nn.LayerNorm(dim_hidden)
+        self._fc2 = nn.Linear(dim_hidden, n_out)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        h = self._fc1(x)
+        b, n, _ = h.shape
+        side = int(np.ceil(np.sqrt(n)))
+        h = torch.cat([h, h[:, : side * side - n]], dim=1)
+        h = torch.cat([self.cls_token.expand(b, -1, -1), h], dim=1)
+        h = self.layer1(h)
+        h = self.pos_layer(h, side, side)
+        h = self.layer2(h)
+        return self._fc2(self.norm(h)[:, 0])
+
+
+class _OracleTransLayer(nn.Module):
+    def __init__(self, dim: int) -> None:
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.attn = _OracleNystrom(dim)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        return x + self.attn(self.norm(x))
+
+
+class _OraclePPEG(nn.Module):
+    def __init__(self, dim: int) -> None:
+        super().__init__()
+        self.proj = nn.Conv2d(dim, dim, 7, 1, 3, groups=dim)
+        self.proj1 = nn.Conv2d(dim, dim, 5, 1, 2, groups=dim)
+        self.proj2 = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x: torch.Tensor, H: int, W: int) -> torch.Tensor:
+        cls, feat = x[:, :1], x[:, 1:]
+        img = feat.transpose(1, 2).reshape(x.shape[0], -1, H, W)
+        out = self.proj(img) + img + self.proj1(img) + self.proj2(img)
+        return torch.cat([cls, out.flatten(2).transpose(1, 2)], dim=1)
+
+
+def _trans_mil_hparams(dim_input: int, dim_hidden: int, cats=("neg", "pos")) -> dict:
+    return {
+        "task": "classification",
+        "supported_features": "tile",
+        "model_name": "trans_mil",
+        "ground_truth_label": "ground-truth",
+        "categories": list(cats),
+        "category_weights": torch.tensor([0.5, 0.5]),
+        "dim_input": dim_input,
+        "dim_hidden": dim_hidden,
+        "total_steps": 64,
+        "max_lr": 1e-4,
+        "div_factor": 25.0,
+    }
+
+
+def test_reference_trans_mil_ckpt_forward_parity(tmp_path):
+    torch.manual_seed(0)
+    dim_input, dim_hidden = 12, 32
+    oracle = _OracleTransMIL(dim_input, dim_hidden, 2).eval()
+    sd = {k: v.detach() for k, v in oracle.state_dict().items()}
+
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(ckpt_path, sd, _trans_mil_hparams(dim_input, dim_hidden))
+
+    model, variables = load_model_from_ckpt(ckpt_path)
+    rng = np.random.default_rng(0)
+    bags = rng.normal(size=(2, 21, dim_input)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(bags)).numpy()
+    got = np.asarray(model.module.apply(variables, bags, train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_export_trans_mil_roundtrip(tmp_path):
+    from stamp_tpu.modeling.interop import save_reference_checkpoint
+
+    torch.manual_seed(1)
+    dim_input, dim_hidden = 12, 32
+    oracle = _OracleTransMIL(dim_input, dim_hidden, 2).eval()
+    src = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(
+        src,
+        {k: v.detach() for k, v in oracle.state_dict().items()},
+        _trans_mil_hparams(dim_input, dim_hidden),
+    )
+    model, variables = load_model_from_ckpt(src)
+    dst = tmp_path / "exported.ckpt"
+    save_reference_checkpoint(
+        dst, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+    want = torch.load(src, map_location="cpu", weights_only=False)["state_dict"]
+    got = torch.load(dst, map_location="cpu", weights_only=False)["state_dict"]
+    assert set(got) == set(want)
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k].numpy(), v.numpy(), atol=1e-6, err_msg=k)
