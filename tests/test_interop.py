@@ -589,3 +589,59 @@ def test_export_trans_mil_roundtrip(tmp_path):
     assert set(got) == set(want)
     for k, v in want.items():
         np.testing.assert_allclose(got[k].numpy(), v.numpy(), atol=1e-6, err_msg=k)
+
+
+def test_reference_survival_ckpt_loads_with_cutoff(tmp_path):
+    """The interop path is task-agnostic: a survival vit checkpoint carries
+    time/status labels and the deploy risk cut-off (train_pred_median,
+    reference models/__init__.py:707-723) through to the task wrapper."""
+    torch.manual_seed(3)
+    dim_input = 16
+    oracle = _OracleViT(dim_input, 1, 32, 2, 4, 48, False).eval()
+    hp = {
+        "task": "survival",
+        "supported_features": "tile",
+        "model_name": "vit",
+        "time_label": "months",
+        "status_label": "event",
+        "method": "cox",
+        "dim_input": dim_input,
+        "dim_model": 32,
+        "n_layers": 2,
+        "n_heads": 4,
+        "dim_feedforward": 48,
+        "dropout": 0.0,
+        "use_alibi": False,
+        "total_steps": 64,
+        "max_lr": 1e-4,
+        "div_factor": 25.0,
+        "train_pred_median": 0.125,
+    }
+    ckpt_path = tmp_path / "model.ckpt"
+    _save_lightning_ckpt(ckpt_path, _vit_reference_state_dict(oracle), hp)
+
+    model, variables = load_model_from_ckpt(ckpt_path)
+    assert model.task_name == "survival"
+    assert model.time_label == "months"
+    assert model.status_label == "event"
+    assert model.train_pred_median == 0.125
+
+    rng = np.random.default_rng(0)
+    bags = rng.normal(size=(2, 9, dim_input)).astype(np.float32)
+    coords = (rng.uniform(size=(2, 9, 2)) * 500).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(bags), torch.from_numpy(coords)).numpy()
+    got = np.asarray(
+        model.module.apply(variables, bags, coords=coords, train=False)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # and it survives the export round-trip with the cut-off intact
+    from stamp_tpu.modeling.interop import save_reference_checkpoint
+
+    dst = tmp_path / "exported.ckpt"
+    save_reference_checkpoint(
+        dst, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+    model2, _ = load_model_from_ckpt(dst)
+    assert model2.train_pred_median == 0.125
