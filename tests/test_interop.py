@@ -273,13 +273,15 @@ def test_reference_mlp_ckpt_forward_parity(tmp_path):
 
 
 def test_reference_ckpt_rejects_unsupported_backbone(tmp_path):
+    """barspoon is the one backbone without a reference
+    hparams-reinstantiation contract — named rejection, no silent guess."""
     ckpt_path = tmp_path / "model.ckpt"
     _save_lightning_ckpt(
         ckpt_path,
         {"dummy.weight": torch.zeros(1)},
-        {**_vit_hparams(8, False), "model_name": "trans_mil"},
+        {**_vit_hparams(8, False), "model_name": "barspoon"},
     )
-    with pytest.raises(ValueError, match="trans_mil"):
+    with pytest.raises(ValueError, match="barspoon"):
         load_model_from_ckpt(ckpt_path)
 
 
