@@ -75,6 +75,42 @@ def _use_fused_attention() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_fused_ln_dense() -> bool:
+    """Fused Pallas LN→matmul on accelerators (ops/ln_dense.py)."""
+    import os
+
+    if os.environ.get("STAMP_NO_FUSED_LN_DENSE"):
+        return False
+    return _use_fused_attention()
+
+
+class _LNParams(nn.Module):
+    """LayerNorm parameter container with ``nn.LayerNorm``'s exact tree
+    ({"scale", "bias"}), returned as values so the consuming matmul can fuse
+    the normalization (ops/ln_dense.py) instead of materializing it."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _apply_ln(x: jax.Array, ln: tuple) -> jax.Array:
+    """Unfused LN for the paths that can't consume the fusion (CPU, int8)."""
+    scale, bias, eps = ln
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    y = c * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
 class QuantDense(nn.Module):
     """Dense layer with an optional int8 (W8A8) inference path.
 
@@ -98,12 +134,34 @@ class QuantDense(nn.Module):
     mode: str = "off"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln: tuple | None = None) -> jax.Array:
+        """``ln=(scale, bias, eps)`` marks ``x`` as *pre-normalization*: the
+        LayerNorm is fused into this matmul on accelerators
+        (ops/ln_dense.py) and applied inline on the unfused paths."""
         d_in = x.shape[-1]
         if self.mode in ("off", "observe"):
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
             )
+            if ln is not None and self.mode == "off" and _use_fused_ln_dense():
+                from stamp_tpu.ops.ln_dense import ln_dense
+
+                scale, bias_ln, eps = ln
+                y = ln_dense(
+                    x,
+                    scale,
+                    bias_ln,
+                    kernel.astype(x.dtype),
+                    self.param(
+                        "bias", nn.initializers.zeros, (self.features,)
+                    )
+                    if self.use_bias
+                    else None,
+                    eps=eps,
+                )
+                return y
+            if ln is not None:
+                x = _apply_ln(x, ln)
             if self.mode == "observe":
                 amax = self.variable(
                     "act_stats", "amax", lambda: jnp.zeros((), jnp.float32)
@@ -113,6 +171,10 @@ class QuantDense(nn.Module):
                 )
             y = x @ kernel.astype(x.dtype)
         else:  # int8
+            if ln is not None:
+                # the quantize epilogue needs the *normalized* activation;
+                # fusing LN into the int8 matmul is an open item (ROADMAP.md)
+                x = _apply_ln(x, ln)
             kernel_q = self.param(
                 "kernel_q",
                 lambda rng, shape: jnp.zeros(shape, jnp.int8),
@@ -154,12 +216,12 @@ class _Attention(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln: tuple | None = None) -> jax.Array:
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = QuantDense(
             3 * self.dim, use_bias=self.qkv_bias, mode=self.quant, name="qkv"
-        )(x)
+        )(x, ln=ln)
         if _use_fused_attention():
             # all-head VMEM-resident attention straight off the packed qkv
             # projection: avoids both the [B, H, N, D] relayout and the
@@ -191,8 +253,8 @@ class _Mlp(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = QuantDense(self.hidden, mode=self.quant, name="fc1")(x)
+    def __call__(self, x: jax.Array, ln: tuple | None = None) -> jax.Array:
+        x = QuantDense(self.hidden, mode=self.quant, name="fc1")(x, ln=ln)
         x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.silu(x)
         return QuantDense(self.dim, mode=self.quant, name="fc2")(x)
 
@@ -208,13 +270,17 @@ class _SwiGLU(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x12 = QuantDense(self.hidden, mode=self.quant, name="fc1")(x)
+    def __call__(self, x: jax.Array, ln: tuple | None = None) -> jax.Array:
+        x12 = QuantDense(self.hidden, mode=self.quant, name="fc1")(x, ln=ln)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
         if self.use_norm:
-            # timm SwiGLUPacked has a norm before the output projection
-            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+            # timm SwiGLUPacked has a norm before the output projection;
+            # same param tree as nn.LayerNorm, fused into fc2 on device
+            g, b = _LNParams(self.hidden // 2, name="norm")()
+            return QuantDense(self.dim, mode=self.quant, name="fc2")(
+                x, ln=(g, b, 1e-6)
+            )
         return QuantDense(self.dim, mode=self.quant, name="fc2")(x)
 
 
@@ -224,10 +290,10 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.cfg
-        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1")(x)
+        g1, b1 = _LNParams(cfg.embed_dim, name="norm1")()
         h = _Attention(
             cfg.embed_dim, cfg.num_heads, cfg.qkv_bias, cfg.quant, name="attn"
-        )(h)
+        )(x, ln=(g1, b1, cfg.norm_eps))
         if cfg.init_values is not None:
             gamma1 = self.param(
                 "ls1_gamma",
@@ -237,12 +303,17 @@ class _Block(nn.Module):
             h = h * gamma1
         x = x + h
 
-        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2")(x)
+        g2, b2 = _LNParams(cfg.embed_dim, name="norm2")()
+        ln2 = (g2, b2, cfg.norm_eps)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.ffn == "swiglu":
-            h = _SwiGLU(cfg.embed_dim, hidden, quant=cfg.quant, name="mlp")(h)
+            h = _SwiGLU(cfg.embed_dim, hidden, quant=cfg.quant, name="mlp")(
+                x, ln=ln2
+            )
         else:
-            h = _Mlp(cfg.embed_dim, hidden, cfg.act, quant=cfg.quant, name="mlp")(h)
+            h = _Mlp(cfg.embed_dim, hidden, cfg.act, quant=cfg.quant, name="mlp")(
+                x, ln=ln2
+            )
         if cfg.init_values is not None:
             gamma2 = self.param(
                 "ls2_gamma",

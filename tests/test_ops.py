@@ -281,3 +281,69 @@ def test_mean_pairwise_distance_matches_dense():
     dense = float(pairwise_distances(coords, coords).mean())
     streamed = float(mean_pairwise_distance(coords, block=64))
     np.testing.assert_allclose(streamed, dense, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm→matmul (ops/ln_dense.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ln_dense_fused_matches_reference(interpret_pallas):
+    from stamp_tpu.ops.ln_dense import ln_dense, ln_dense_reference
+
+    rng = np.random.default_rng(0)
+    m, k, n = 512, 128, 256  # tiles onto the (256, 256) grid path
+    x = jnp.asarray(rng.normal(size=(4, m // 4, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(k, n)) * 0.05).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    ref = ln_dense_reference(x.reshape(-1, k), g, b, w, d).reshape(4, -1, n)
+    got = ln_dense(x, g, b, w, d)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    # no dense bias
+    ref0 = ln_dense_reference(x.reshape(-1, k), g, b, w).reshape(4, -1, n)
+    got0 = ln_dense(x, g, b, w)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=2e-4)
+
+
+def test_ln_dense_untileable_falls_back():
+    from stamp_tpu.ops.ln_dense import ln_dense, ln_dense_reference
+
+    rng = np.random.default_rng(1)
+    m, k, n = 197, 192, 320  # m not a tile multiple → unfused XLA path
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(k, n)) * 0.05).astype(np.float32))
+    got = ln_dense(x, g, b, w)
+    ref = ln_dense_reference(x, g, b, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_ln_dense_gradients_match_autodiff(interpret_pallas):
+    from stamp_tpu.ops.ln_dense import ln_dense, ln_dense_reference
+
+    rng = np.random.default_rng(2)
+    m, k, n = 256, 128, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(k, n)) * 0.05).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    tangent = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, g, b, w, d: jnp.sum(fn(x, g, b, w, d) * tangent)
+
+    ref_grads = jax.grad(loss(ln_dense_reference), argnums=(0, 1, 2, 3, 4))(
+        x, g, b, w, d
+    )
+    got_grads = jax.grad(loss(ln_dense), argnums=(0, 1, 2, 3, 4))(x, g, b, w, d)
+    for got, ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-3
+        )
