@@ -171,10 +171,6 @@ class QuantDense(nn.Module):
                 )
             y = x @ kernel.astype(x.dtype)
         else:  # int8
-            if ln is not None:
-                # the quantize epilogue needs the *normalized* activation;
-                # fusing LN into the int8 matmul is an open item (ROADMAP.md)
-                x = _apply_ln(x, ln)
             kernel_q = self.param(
                 "kernel_q",
                 lambda rng, shape: jnp.zeros(shape, jnp.int8),
@@ -189,6 +185,30 @@ class QuantDense(nn.Module):
             # 5% headroom over the calibration max; harder clipping hurts
             # more than the extra quantization step costs
             s_x = jnp.maximum(amax.value, 1e-6) * 1.05
+            if ln is not None and _use_fused_ln_dense():
+                # LN → quantize → int8 dot → dequant as ONE Pallas kernel
+                # (ops/ln_dense.py:ln_quant_dense, 1.26× at the UNI2 qkv
+                # site) — the standalone LN+quantize pass and its int8 HBM
+                # round-trip disappear
+                from stamp_tpu.ops.ln_dense import ln_quant_dense
+
+                scale, bias_ln, eps = ln
+                return ln_quant_dense(
+                    x,
+                    scale,
+                    bias_ln,
+                    s_x,
+                    kernel_q,
+                    w_scale,
+                    self.param(
+                        "bias", nn.initializers.zeros, (self.features,)
+                    )
+                    if self.use_bias
+                    else None,
+                    eps=eps,
+                )
+            if ln is not None:
+                x = _apply_ln(x, ln)
             xq = jnp.clip(
                 jnp.round(x.astype(jnp.float32) * (127.0 / s_x)), -127, 127
             ).astype(jnp.int8)

@@ -206,3 +206,158 @@ def ln_dense(x, scale, bias, kernel, dense_bias=None, *, eps=1e-6):
         )
         out = _ln_dense_core(x2d, scale, bias, kernel, db, eps, *tiles)
     return out.reshape(*x.shape[:-1], n)
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: LayerNorm → static-scale quantize → int8 MXU dot → dequant
+# ---------------------------------------------------------------------------
+#
+# The int8 extraction path (models/vit_image.py QuantDense) consumes a
+# *quantized* activation, so the bf16 ln_dense above can't serve it: the chain
+# is LN (f32 VPU) → static-scale quantize → int8 dot → f32 dequant epilogue.
+# Unfused, XLA runs LN+quantize as a standalone pass that writes an int8 copy
+# of the activation to HBM (~48 ms of the 520 ms UNI2 int8 batch,
+# scripts/int8_ablate.py).  Fusing the whole chain into the matmul quantizes
+# straight into an int8 VMEM scratch at n-grid step 0 and streams the int8
+# weight column blocks through the MXU.  Measured (scripts/
+# ln_quant_dense_probe.py, UNI2 int8 hot shapes [69632, 1536]): qkv N=4608 —
+# 4.51 ms fused vs 5.69 ms XLA (1.26×, best tiling bm=2048 bn=1024).
+#
+# Larger row blocks win here than in the bf16 kernel because the int8 scratch
+# halves the VMEM cost per row; the candidate list leads with 2048.
+
+_QBM_CANDIDATES = (2048, 1024, 512, 256)
+_QBN_CANDIDATES = (1024, 512, 256)
+
+
+def _pick_quant_tiles(m: int, k: int, n: int, itemsize: int):
+    if k % 128 or n % 128:
+        return None
+    for bm in _QBM_CANDIDATES:
+        if m % bm:
+            continue
+        for bn in _QBN_CANDIDATES:
+            if n % bn:
+                continue
+            # bf16 x block (double-buffered) + int8 scratch (grid-invariant
+            # along n) + int8 weight blocks + f32-epilogue out blocks
+            vmem = (
+                2 * (bm * k * itemsize)
+                + bm * k
+                + 2 * (k * bn)
+                + 2 * (bm * bn * 4)
+            )
+            if vmem <= _VMEM_BUDGET:
+                return bm, bn
+    return None
+
+
+def _ln_quant_dense_kernel(
+    x_ref, g_ref, b_ref, sx_ref, w_ref, ws_ref, d_ref, o_ref, xq_ref, *, eps
+):
+    # First n step of each row block: LN, cast to the activation dtype
+    # (matching the unfused QuantDense semantics bit-for-bit), then quantize
+    # with the static per-tensor scale straight into int8 VMEM scratch.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        c = xf - mean
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        y = c * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+        y = y.astype(x_ref.dtype).astype(jnp.float32)
+        q = jnp.clip(jnp.round(y * (127.0 / sx_ref[0])), -127, 127)
+        xq_ref[:] = q.astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq_ref[:],
+        w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (
+        acc.astype(jnp.float32) * (sx_ref[0] / 127.0) * ws_ref[:]
+        + d_ref[:]
+    ).astype(o_ref.dtype)
+
+
+def ln_quant_dense_reference(
+    x, scale, bias, s_x, kernel_q, w_scale, dense_bias=None, *, eps=1e-6
+):
+    """Unfused XLA semantics the kernel is pinned against — identical to the
+    QuantDense int8 branch: f32 LN cast to the activation dtype, static-scale
+    int8 quantize, int8 dot with i32 accumulation, f32 dequant + bias."""
+    y = _ln(x, scale, bias, eps).astype(x.dtype)
+    xq = jnp.clip(
+        jnp.round(y.astype(jnp.float32) * (127.0 / s_x)), -127, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = (
+        acc.astype(jnp.float32)
+        * (s_x / 127.0)
+        * w_scale.astype(jnp.float32)
+    )
+    if dense_bias is not None:
+        out = out + dense_bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def ln_quant_dense(
+    x, scale, bias, s_x, kernel_q, w_scale, dense_bias=None, *, eps=1e-6
+):
+    """Fused ``int8_dot(quantize(LayerNorm(x)), kernel_q)`` with f32 dequant.
+
+    ``x``: [..., K] activation; ``scale``/``bias``: [K] LN params; ``s_x``:
+    scalar static activation scale (calibrated amax with headroom);
+    ``kernel_q``: [K, N] int8; ``w_scale``: [N] f32 per-out-channel dequant
+    scale; ``dense_bias``: [N] or None.  Inference-only (the quantize is
+    non-differentiable, exactly like the unfused path).
+    """
+    k = x.shape[-1]
+    n = kernel_q.shape[1]
+    x2d = x.reshape(-1, k)
+    tiles = _pick_quant_tiles(x2d.shape[0], k, n, x.dtype.itemsize)
+    if tiles is None:
+        out = ln_quant_dense_reference(
+            x2d, scale, bias, s_x, kernel_q, w_scale, dense_bias, eps=eps
+        )
+    else:
+        bm, bn = tiles
+        m = x2d.shape[0]
+        db = (
+            dense_bias
+            if dense_bias is not None
+            else jnp.zeros((n,), jnp.float32)
+        )
+        out = pl.pallas_call(
+            functools.partial(_ln_quant_dense_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+            grid=(m // bm, n // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+                pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(
+            x2d,
+            scale.reshape(1, k).astype(jnp.float32),
+            bias.reshape(1, k).astype(jnp.float32),
+            jnp.asarray(s_x, jnp.float32).reshape(1),
+            kernel_q,
+            w_scale.reshape(1, n).astype(jnp.float32),
+            db.reshape(1, n).astype(jnp.float32),
+        )
+    return out.reshape(*x.shape[:-1], n)

@@ -347,3 +347,55 @@ def test_ln_dense_gradients_match_autodiff(interpret_pallas):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-3
         )
+
+
+def test_ln_quant_dense_fused_matches_reference(interpret_pallas):
+    from stamp_tpu.ops.ln_dense import (
+        ln_quant_dense,
+        ln_quant_dense_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    m, k, n = 512, 128, 256  # tiles onto the (256, 256) grid path
+    x = jnp.asarray(rng.normal(size=(2, m // 2, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    s_x = jnp.asarray(6.0, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(k, n)), dtype=jnp.int8)
+    ws = jnp.asarray((rng.uniform(0.5, 2.0, size=(n,)) * 1e-3).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    ref = ln_quant_dense_reference(
+        x.reshape(-1, k), g, b, s_x, wq, ws, d
+    ).reshape(2, -1, n)
+    got = ln_quant_dense(x, g, b, s_x, wq, ws, d)
+    assert got.shape == ref.shape
+    # both paths quantize from the same cast activation; only the int8 dot
+    # accumulation order differs (it is exact in i32), so parity is tight
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # no dense bias
+    ref0 = ln_quant_dense_reference(
+        x.reshape(-1, k), g, b, s_x, wq, ws
+    ).reshape(2, -1, n)
+    got0 = ln_quant_dense(x, g, b, s_x, wq, ws)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=1e-5)
+
+
+def test_ln_quant_dense_untileable_falls_back():
+    from stamp_tpu.ops.ln_dense import (
+        ln_quant_dense,
+        ln_quant_dense_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    m, k, n = 197, 192, 320  # m not a tile multiple → unfused XLA path
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    s_x = jnp.asarray(4.0, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(k, n)), dtype=jnp.int8)
+    ws = jnp.asarray(np.full((n,), 1e-3, np.float32))
+    got = ln_quant_dense(x, g, b, s_x, wq, ws)
+    ref = ln_quant_dense_reference(x, g, b, s_x, wq, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
