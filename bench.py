@@ -11,19 +11,35 @@ production extraction overlaps transfer with compute.
 Headline path: the framework's maximum-throughput extraction mode — int8
 W8A8 (per-out-channel int8 weights + static per-tensor activation scales;
 opt-in via STAMP_INT8_EXTRACTION=1, see preprocessing/extractor/__init__.py).
-The metric name carries the precision label; the bf16 numeric-parity path
-measures 377.2 tiles/s on the same chip (scripts/int8_probe.py) and is used
-as fallback if the int8 path fails.  Activation scales are fixed constants
-here — scale *values* do not affect throughput; the product path calibrates
-them on the first real tile batch.
+The metric name carries the precision label; the bf16 numeric-parity path is
+measured alongside and used as fallback if the int8 path fails.  Activation
+scales are fixed constants here — scale *values* do not affect throughput;
+the product path calibrates them on the first real tile batch.
 
 Weights are random (zero-egress environment) — throughput does not depend on
 weight values.
+
+Robustness (VERDICT r4 item 1): the round-4 driver capture disagreed with
+round 3 by -42% t/s and ~12× on cost_analysis flops.  This version
+  * emits the platform/device it actually ran on,
+  * computes MFU from an ANALYTICAL per-tile flop count derived from the
+    exact ViT config (matmul flops, 2·M·K·N), cross-checked against XLA
+    cost_analysis — a >10% disagreement is reported loudly and the
+    analytical number wins (the relay's cost_analysis has returned
+    per-partition garbage),
+  * times per-dispatch (sync every call) vs pipelined steady state so a
+    tunnel-serialized run is distinguishable from a compute-bound one, and
+  * repeats the pipelined measurement and reports best-of-3 (relay
+    contention is one-sided noise: it only ever slows a run down).
 
 Baseline: the reference pipeline (torch fp16, single DataLoader worker,
 batch 64; SURVEY.md §3.1) reaches ≈450 tiles/s for a UNI2-class ViT-H on an
 A100; the north-star target is ≥3× per chip (BASELINE.md).  ``vs_baseline``
 is measured/450.
+
+Also emits ``slides_per_hour`` from the end-to-end extraction probe
+(scripts/e2e_extract_probe.py — real `extract_` over synthetic LZW-TIFF +
+MIRAX slides; VERDICT r4 item 7), skippable via STAMP_BENCH_E2E=0.
 
 Prints ONE JSON line.
 """
@@ -31,6 +47,8 @@ Prints ONE JSON line.
 import functools
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -42,10 +60,32 @@ os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=49152
 A100_BASELINE_TILES_PER_SEC = 450.0
 BATCH = 256  # throughput sweet spot on v5e; compile is in the persistent cache
 
-# v5e peak per chip: 197 bf16 TFLOPs, 394 int8 TOPS (public spec).  MFU is
-# XLA's own flop count for the compiled forward (cost_analysis) divided by
-# peak — auditable per round, per VERDICT r3 item 7.
+# v5e peak per chip: 197 bf16 TFLOPs, 394 int8 TOPS (public spec).
 V5E_PEAK_FLOPS = {"bf16": 197e12, "int8": 394e12}
+
+
+def analytical_forward_flops(cfg, batch: int) -> float:
+    """Matmul flops (2·M·K·N) of one ImageViT forward at ``batch`` tiles.
+
+    Counts patch embed, per-block qkv/attention/proj/ffn, and ignores
+    norms/elementwise (<0.5% of total for ViT-H).  Serves as the
+    platform-independent denominator check for MFU — XLA cost_analysis has
+    returned per-partition garbage through the relay backend (BENCH_r04:
+    ~12× under this count; VERDICT r4 item 1).
+    """
+    n = cfg.num_patches + cfg.num_prefix_tokens
+    d = cfg.embed_dim
+    hidden = int(d * cfg.mlp_ratio)
+    patch_k = cfg.patch_size * cfg.patch_size * 3
+    per_tile = 2.0 * cfg.num_patches * patch_k * d  # patch embed conv
+    qkv = 2.0 * n * d * 3 * d
+    attn = 4.0 * n * n * d  # q·kᵀ and attn·v
+    proj = 2.0 * n * d * d
+    fc1 = 2.0 * n * d * hidden
+    fc2_in = hidden // 2 if cfg.ffn == "swiglu" else hidden
+    fc2 = 2.0 * n * fc2_in * d
+    per_tile += cfg.depth * (qkv + attn + proj + fc1 + fc2)
+    return per_tile * batch
 
 
 def main() -> None:
@@ -80,9 +120,16 @@ def main() -> None:
         )
 
     dev = jax.devices()[0]
+    platform = {
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "jax": jax.__version__,
+    }
+    print(f"device: {platform}", file=sys.stderr)
 
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(cfg.std, dtype=jnp.float32) * 255.0
+    flops_analytical = analytical_forward_flops(cfg, BATCH)
 
     def measure(label, module, vars_host):
         vars_dev = jax.device_put(vars_host, dev)
@@ -111,42 +158,77 @@ def main() -> None:
             f"{label}: compile+first {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+
         # NOTE: in this harness block_until_ready() does not wait for the
         # remote execution — materialize a scalar to force completion.  The
         # single TPU core executes dispatches in order, so syncing the last
         # output covers all previous forwards.
-        n_iters = 10
-        t0 = time.perf_counter()
-        outs = [forward(vars_dev, batches[i % 2]) for i in range(n_iters)]
-        _ = float(outs[-1][0, 0])
-        dt = time.perf_counter() - t0
-        tps = BATCH * n_iters / dt
-        print(f"{label}: {tps:.1f} tiles/s", file=sys.stderr)
 
-        # XLA's flop count for this exact compiled forward; the compilation
-        # cache makes the re-lower cheap.  None if the relay backend can't
-        # answer — MFU is then omitted rather than guessed.
-        flops = None
+        # per-dispatch latency: sync EVERY call.  If pipelined throughput
+        # ≈ 1/per_dispatch, dispatches are serialized on the link (tunnel-
+        # bound run); pipelined ≫ per-dispatch ⇒ compute-bound.
+        lat = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            float(forward(vars_dev, batches[i % 2])[0, 0])
+            lat.append(time.perf_counter() - t0)
+        per_dispatch_s = statistics.median(lat)
+
+        # pipelined steady state, best of 3 trials (relay contention only
+        # ever slows a trial, so max is the chip's actual rate)
+        n_iters = 10
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [forward(vars_dev, batches[i % 2]) for i in range(n_iters)]
+            _ = float(outs[-1][0, 0])
+            trials.append(BATCH * n_iters / (time.perf_counter() - t0))
+        tps = max(trials)
+        print(
+            f"{label}: {tps:.1f} tiles/s (trials "
+            f"{[round(t, 1) for t in trials]}, per-dispatch "
+            f"{BATCH / per_dispatch_s:.1f} t/s)",
+            file=sys.stderr,
+        )
+
+        # XLA's flop count for this exact compiled forward, cross-checked
+        # against the analytical count; the analytical number is the MFU
+        # numerator of record (see module docstring).
+        flops_ca = None
         try:
             ca = forward.lower(vars_dev, batches[0]).compile().cost_analysis()
             if not isinstance(ca, dict):  # older jax returns a list
                 ca = ca[0] if ca else {}
-            flops = float(ca.get("flops") or 0.0) or None
+            flops_ca = float(ca.get("flops") or 0.0) or None
         except Exception as e:  # pragma: no cover
             print(f"{label}: cost_analysis unavailable ({e})", file=sys.stderr)
-        return tps, flops
+        if flops_ca is not None:
+            ratio = flops_ca / flops_analytical
+            if not 0.9 <= ratio <= 1.1:
+                print(
+                    f"{label}: FLOP MISMATCH — cost_analysis {flops_ca:.3e} "
+                    f"vs analytical {flops_analytical:.3e} ({ratio:.2f}×); "
+                    "using analytical for MFU",
+                    file=sys.stderr,
+                )
+        return {
+            "tps": tps,
+            "trials": [round(t, 1) for t in trials],
+            "per_dispatch_tps": BATCH / per_dispatch_s,
+            "flops_cost_analysis": flops_ca,
+        }
+
+    def mfu_of(tps, precision):
+        return round(tps / BATCH * flops_analytical / V5E_PEAK_FLOPS[precision], 4)
 
     # measure the default bf16 numeric-parity path first, then the opt-in
     # int8 maximum-throughput mode; the headline is int8, clearly labeled,
     # with the live-measured bf16 figure alongside
-    def mfu_of(tps, flops, precision):
-        if flops is None:
-            return None
-        return round(tps / BATCH * flops / V5E_PEAK_FLOPS[precision], 4)
-
-    tps_bf16, flops_bf16 = measure("bf16", ImageViT(cfg), variables)
-    mfu_bf16 = mfu_of(tps_bf16, flops_bf16, "bf16")
+    r_bf16 = measure("bf16", ImageViT(cfg), variables)
+    tps_bf16 = r_bf16["tps"]
+    mfu_bf16 = mfu_of(tps_bf16, "bf16")
     mfu = mfu_bf16
+    r_int8 = None
     try:
         with jax.default_device(cpu):
             qparams = quantize_vit_params(variables["params"], cfg)
@@ -164,15 +246,40 @@ def main() -> None:
                 for i in range(cfg.depth)
             }
         cfg_q = ViTConfig(**{**cfg.__dict__, "quant": "int8"})
-        tps, flops_int8 = measure(
+        r_int8 = measure(
             "int8", ImageViT(cfg_q), {"params": qparams, "act_stats": act_stats}
         )
-        mfu = mfu_of(tps, flops_int8, "int8")
+        tps = r_int8["tps"]
+        mfu = mfu_of(tps, "int8")
         label = f"int8 W8A8 (opt-in; bf16 parity path: {tps_bf16:.1f} t/s)"
     except Exception as e:  # pragma: no cover - fallback for robustness
         print(f"int8 path failed ({e}); reporting bf16", file=sys.stderr)
         tps = tps_bf16
         label = "bf16"
+
+    # end-to-end slides/hour through the real extract_ pipeline (VERDICT r4
+    # item 7); subprocess-isolated so a probe failure can't sink the bench
+    e2e = None
+    if os.environ.get("STAMP_BENCH_E2E", "1") != "0":
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts", "e2e_extract_probe.py")],
+                capture_output=True, text=True, timeout=1500, cwd=here,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    e2e = json.loads(line)
+                    break
+            if e2e is None:
+                print(
+                    f"e2e probe produced no JSON (rc={proc.returncode}): "
+                    f"{proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # pragma: no cover
+            print(f"e2e probe failed ({e})", file=sys.stderr)
 
     result = {
         "metric": (
@@ -185,10 +292,29 @@ def main() -> None:
         # the fp16 A100 baseline (the headline above is the opt-in int8 mode)
         "vs_baseline_bf16": round(tps_bf16 / A100_BASELINE_TILES_PER_SEC, 3),
         "bf16_tiles_per_sec": round(tps_bf16, 1),
-        # end-to-end model flop utilization vs v5e peak (197 bf16 TFLOPs /
-        # 394 int8 TOPS), flops from XLA cost_analysis of the compiled fwd
+        # model flop utilization vs v5e peak (197 bf16 TFLOPs / 394 int8
+        # TOPS); numerator = analytical matmul flops of the exact config,
+        # cross-checked against cost_analysis above
         "mfu": mfu,
         "mfu_bf16": mfu_bf16,
+        "flops_per_batch_analytical": flops_analytical,
+        "flops_per_batch_cost_analysis": {
+            "bf16": r_bf16["flops_cost_analysis"],
+            "int8": r_int8["flops_cost_analysis"] if r_int8 else None,
+        },
+        "trials_tps": {
+            "bf16": r_bf16["trials"],
+            "int8": r_int8["trials"] if r_int8 else None,
+        },
+        "per_dispatch_tps": {
+            "bf16": round(r_bf16["per_dispatch_tps"], 1),
+            "int8": round(r_int8["per_dispatch_tps"], 1) if r_int8 else None,
+        },
+        "device": platform,
+        "slides_per_hour": (
+            e2e["end_to_end"]["slides_per_hour"] if e2e else None
+        ),
+        "e2e_extract": e2e,
     }
     print(json.dumps(result))
 

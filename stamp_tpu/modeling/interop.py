@@ -22,10 +22,10 @@ are loaded with ``torch.load(weights_only=True)`` plus a minimal allowlist
 a checkpoint carrying arbitrary pickled objects is rejected with the
 offending global named.  There is deliberately no unsafe fallback.
 
-Supported backbones: vit (with/without ALiBi), mlp, linear, trans_mil —
-every backbone the reference re-instantiates from hparams.  barspoon
-reference checkpoints are rejected with a clear message (the reference's
-barspoon path has no hparams-reinstantiation contract).
+Supported backbones: vit (with/without ALiBi), mlp, linear, trans_mil, and
+barspoon (EncDecTransformer) — every backbone the reference re-instantiates
+from hparams (reference registry.py:40-72, deploy.py:49-58; barspoon via
+``LitEncDecTransformer``, models/__init__.py:857-937).
 """
 
 from __future__ import annotations
@@ -290,6 +290,67 @@ def _convert_trans_mil(sd: dict[str, np.ndarray]) -> dict[str, Any]:
     return {"params": params}
 
 
+def _packed_mha_in(sd: dict[str, np.ndarray], key: str) -> dict[str, Any]:
+    """torch ``nn.MultiheadAttention`` (packed ``in_proj_weight`` [3D, D] +
+    ``out_proj``) → our barspoon ``_MHA`` tree ({q, k, v, out} Dense)."""
+    w = sd.pop(f"{key}.in_proj_weight")
+    b = sd.pop(f"{key}.in_proj_bias")
+    d = w.shape[1]
+    out: dict[str, Any] = {}
+    for name, lo in (("q", 0), ("k", d), ("v", 2 * d)):
+        out[name] = {
+            "kernel": np.ascontiguousarray(w[lo : lo + d].T),
+            "bias": b[lo : lo + d],
+        }
+    out["out"] = _dense(sd, f"{key}.out_proj")
+    return out
+
+
+def _convert_barspoon(
+    sd: dict[str, np.ndarray],
+    *,
+    targets: list[str],
+    num_encoder_layers: int,
+    num_decoder_layers: int,
+) -> dict[str, Any]:
+    """Reference barspoon EncDecTransformer state dict → our flax variables.
+
+    Layout per reference barspoon.py:104-162: ``projector.0`` (Linear),
+    ``transformer_encoder.layers.{i}`` (torch TransformerEncoderLayer:
+    packed-qkv self_attn, linear1/2, norm1/2), ``class_tokens.{sanitized}``
+    ParameterDict, ``transformer_decoder.layers.{i}`` (DecoderLayer: adds
+    ``multihead_attn`` cross attention and norm3), ``heads.{sanitized}``.
+    """
+    from stamp_tpu.models.barspoon import sanitize
+
+    params: dict[str, Any] = {"projector": _dense(sd, "projector.0")}
+    for i in range(num_encoder_layers):
+        ref = f"transformer_encoder.layers.{i}"
+        params[f"encoder_{i}"] = {
+            "self_attn": _packed_mha_in(sd, f"{ref}.self_attn"),
+            "norm1": _layernorm(sd, f"{ref}.norm1"),
+            "norm2": _layernorm(sd, f"{ref}.norm2"),
+            "ff1": _dense(sd, f"{ref}.linear1"),
+            "ff2": _dense(sd, f"{ref}.linear2"),
+        }
+    for i in range(num_decoder_layers):
+        ref = f"transformer_decoder.layers.{i}"
+        params[f"decoder_{i}"] = {
+            "self_attn": _packed_mha_in(sd, f"{ref}.self_attn"),
+            "cross_attn": _packed_mha_in(sd, f"{ref}.multihead_attn"),
+            "norm1": _layernorm(sd, f"{ref}.norm1"),
+            "norm2": _layernorm(sd, f"{ref}.norm2"),
+            "norm3": _layernorm(sd, f"{ref}.norm3"),
+            "ff1": _dense(sd, f"{ref}.linear1"),
+            "ff2": _dense(sd, f"{ref}.linear2"),
+        }
+    for t in targets:
+        s = sanitize(t)
+        params[f"class_token_{s}"] = sd.pop(f"class_tokens.{s}")
+        params[f"head_{s}"] = _dense(sd, f"heads.{s}")
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # Entry point
 # ---------------------------------------------------------------------------
@@ -313,12 +374,12 @@ def load_reference_checkpoint(path: Path | str):
     hp = {str(k): _plain(v) for k, v in ckpt["hyper_parameters"].items()}
 
     model_name = str(hp.get("model_name", ""))
-    if model_name not in ("vit", "mlp", "linear", "trans_mil"):
+    if model_name not in ("vit", "mlp", "linear", "trans_mil", "barspoon"):
         raise ValueError(
-            f"reference checkpoint interop supports vit/mlp/linear/trans_mil "
-            f"backbones; this checkpoint uses {model_name!r}. Re-train with "
-            "this framework (or export the model as an npz checkpoint) "
-            "instead."
+            f"reference checkpoint interop supports vit/mlp/linear/trans_mil/"
+            f"barspoon backbones; this checkpoint uses {model_name!r}. "
+            "Re-train with this framework (or export the model as an npz "
+            "checkpoint) instead."
         )
 
     # model.* weights; anything else (class_weights buffer, torchmetrics
@@ -346,6 +407,13 @@ def load_reference_checkpoint(path: Path | str):
         variables = _convert_mlp(sd, num_layers=int(hp.get("num_layers", 2)))
     elif model_name == "trans_mil":
         variables = _convert_trans_mil(sd)
+    elif model_name == "barspoon":
+        variables = _convert_barspoon(
+            sd,
+            targets=list(hp["category_weights"].keys()),
+            num_encoder_layers=int(hp.get("num_encoder_layers", 2)),
+            num_decoder_layers=int(hp.get("num_decoder_layers", 2)),
+        )
     else:
         variables = _convert_linear(sd)
 
@@ -486,6 +554,59 @@ def _export_trans_mil(variables: dict[str, Any]) -> dict[str, Any]:
     return sd
 
 
+def _packed_mha_out(sd: dict[str, Any], key: str, mha: dict[str, Any]) -> None:
+    """Inverse of ``_packed_mha_in``: {q, k, v, out} Dense → torch
+    ``nn.MultiheadAttention`` packed ``in_proj_weight``/``in_proj_bias``."""
+    sd[f"{key}.in_proj_weight"] = _t(
+        np.concatenate(
+            [np.asarray(mha[n]["kernel"]).T for n in ("q", "k", "v")], axis=0
+        )
+    )
+    sd[f"{key}.in_proj_bias"] = _t(
+        np.concatenate([np.asarray(mha[n]["bias"]) for n in ("q", "k", "v")])
+    )
+    _dense_out(sd, f"{key}.out_proj", mha["out"])
+
+
+def _export_barspoon(
+    variables: dict[str, Any],
+    *,
+    targets: list[str],
+    num_encoder_layers: int,
+    num_decoder_layers: int,
+) -> dict[str, Any]:
+    """Inverse of ``_convert_barspoon`` — emits the reference
+    EncDecTransformer state-dict key layout (reference barspoon.py:104-162)."""
+    from stamp_tpu.models.barspoon import sanitize
+
+    params = variables["params"]
+    sd: dict[str, Any] = {}
+    _dense_out(sd, "projector.0", params["projector"])
+    for i in range(num_encoder_layers):
+        block = params[f"encoder_{i}"]
+        ref = f"transformer_encoder.layers.{i}"
+        _packed_mha_out(sd, f"{ref}.self_attn", block["self_attn"])
+        _layernorm_out(sd, f"{ref}.norm1", block["norm1"])
+        _layernorm_out(sd, f"{ref}.norm2", block["norm2"])
+        _dense_out(sd, f"{ref}.linear1", block["ff1"])
+        _dense_out(sd, f"{ref}.linear2", block["ff2"])
+    for i in range(num_decoder_layers):
+        block = params[f"decoder_{i}"]
+        ref = f"transformer_decoder.layers.{i}"
+        _packed_mha_out(sd, f"{ref}.self_attn", block["self_attn"])
+        _packed_mha_out(sd, f"{ref}.multihead_attn", block["cross_attn"])
+        _layernorm_out(sd, f"{ref}.norm1", block["norm1"])
+        _layernorm_out(sd, f"{ref}.norm2", block["norm2"])
+        _layernorm_out(sd, f"{ref}.norm3", block["norm3"])
+        _dense_out(sd, f"{ref}.linear1", block["ff1"])
+        _dense_out(sd, f"{ref}.linear2", block["ff2"])
+    for t in targets:
+        s = sanitize(t)
+        sd[f"class_tokens.{s}"] = _t(params[f"class_token_{s}"])
+        _dense_out(sd, f"heads.{s}", params[f"head_{s}"])
+    return sd
+
+
 def _torchify_hparams(hp: dict[str, Any]) -> dict[str, Any]:
     """Repo hparams → the reference's hyper_parameters conventions:
     ``category_weights`` as a torch tensor, ``stamp_version`` as a
@@ -497,9 +618,16 @@ def _torchify_hparams(hp: dict[str, Any]) -> dict[str, Any]:
 
     out = {k: v for k, v in hp.items() if k != "model_class" and v is not None}
     if "category_weights" in out:
-        out["category_weights"] = torch.as_tensor(
-            np.asarray(out["category_weights"], dtype=np.float32)
-        )
+        cw = out["category_weights"]
+        if isinstance(cw, dict):  # barspoon: per-target weight tensors
+            out["category_weights"] = {
+                str(k): torch.as_tensor(np.asarray(v, dtype=np.float32))
+                for k, v in cw.items()
+            }
+        else:
+            out["category_weights"] = torch.as_tensor(
+                np.asarray(cw, dtype=np.float32)
+            )
     out["stamp_version"] = Version(
         str(out.get("stamp_version", stamp_tpu.__version__))
     )
@@ -537,11 +665,17 @@ def save_reference_checkpoint(
         sd = _export_linear(variables)
     elif model_name == "trans_mil":
         sd = _export_trans_mil(variables)
+    elif model_name == "barspoon":
+        sd = _export_barspoon(
+            variables,
+            targets=list(hp["category_weights"].keys()),
+            num_encoder_layers=int(hp.get("num_encoder_layers", 2)),
+            num_decoder_layers=int(hp.get("num_decoder_layers", 2)),
+        )
     else:
         raise ValueError(
-            f"reference checkpoint export supports vit/mlp/linear/trans_mil "
-            f"backbones; got {model_name!r} (barspoon has no reference "
-            "hparams-reinstantiation contract)."
+            f"reference checkpoint export supports vit/mlp/linear/trans_mil/"
+            f"barspoon backbones; got {model_name!r}."
         )
 
     ckpt = {

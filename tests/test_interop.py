@@ -273,15 +273,15 @@ def test_reference_mlp_ckpt_forward_parity(tmp_path):
 
 
 def test_reference_ckpt_rejects_unsupported_backbone(tmp_path):
-    """barspoon is the one backbone without a reference
-    hparams-reinstantiation contract — named rejection, no silent guess."""
+    """A backbone name outside the reference's registry (registry.py:40-72)
+    is rejected loudly by name — no silent architecture guess."""
     ckpt_path = tmp_path / "model.ckpt"
     _save_lightning_ckpt(
         ckpt_path,
         {"dummy.weight": torch.zeros(1)},
-        {**_vit_hparams(8, False), "model_name": "barspoon"},
+        {**_vit_hparams(8, False), "model_name": "cobra"},
     )
-    with pytest.raises(ValueError, match="barspoon"):
+    with pytest.raises(ValueError, match="cobra"):
         load_model_from_ckpt(ckpt_path)
 
 
@@ -647,3 +647,221 @@ def test_reference_survival_ckpt_loads_with_cutoff(tmp_path):
     )
     model2, _ = load_model_from_ckpt(dst)
     assert model2.train_pred_median == 0.125
+
+
+# ---------------------------------------------------------------------------
+# barspoon (EncDecTransformer) interop — reference barspoon.py:104-205,
+# registry.py:60-66, models/__init__.py:857-937
+# ---------------------------------------------------------------------------
+
+
+class _OracleEncDec(nn.Module):
+    """Torch oracle mirroring the reference EncDecTransformer exactly
+    (reference barspoon.py:104-205): projector → sinusoidal positional
+    encodings → nn.TransformerEncoder → decoder over per-target class
+    tokens → per-target heads."""
+
+    def __init__(
+        self,
+        d_features: int,
+        target_n_outs: dict[str, int],
+        d_model: int = 32,
+        n_heads: int = 4,
+        n_enc: int = 2,
+        n_dec: int = 2,
+        dim_feedforward: int = 48,
+    ) -> None:
+        super().__init__()
+        self.projector = nn.Sequential(nn.Linear(d_features, d_model), nn.ReLU())
+        enc_layer = nn.TransformerEncoderLayer(
+            d_model, n_heads, dim_feedforward, batch_first=True, norm_first=True
+        )
+        self.transformer_encoder = nn.TransformerEncoder(
+            enc_layer, num_layers=n_enc, enable_nested_tensor=False
+        )
+        self.target_labels = list(target_n_outs)
+        self.class_tokens = nn.ParameterDict(
+            {t: torch.rand(d_model) for t in target_n_outs}
+        )
+        dec_layer = nn.TransformerDecoderLayer(
+            d_model, n_heads, dim_feedforward, batch_first=True, norm_first=True
+        )
+        self.transformer_decoder = nn.TransformerDecoder(dec_layer, num_layers=n_dec)
+        self.heads = nn.ModuleDict(
+            {t: nn.Linear(d_model, n) for t, n in target_n_outs.items()}
+        )
+
+    def forward(self, tile_tokens, tile_positions):
+        batch_size = tile_tokens.shape[0]
+        x = self.projector(tile_tokens)
+        d_model = x.size(-1)
+        pe_in = tile_positions.unsqueeze(-1) / 100_000 ** (
+            torch.arange(d_model // 4).type_as(tile_positions) / d_model
+        )
+        pe = torch.cat(
+            [
+                torch.sin(pe_in).flatten(start_dim=-2),
+                torch.cos(pe_in).flatten(start_dim=-2),
+            ],
+            dim=-1,
+        )
+        x = self.transformer_encoder(x + pe)
+        class_tokens = torch.stack(
+            [self.class_tokens[t] for t in self.target_labels]
+        ).expand(batch_size, -1, -1)
+        class_tokens = self.transformer_decoder(tgt=class_tokens, memory=x)
+        return {
+            t: self.heads[t](tok)
+            for t, tok in zip(self.target_labels, class_tokens.permute(1, 0, 2))
+        }
+
+
+_BARSPOON_TARGETS = {"msi": ["neg", "pos"], "grade_x": ["g1", "g2", "g3"]}
+
+
+def _barspoon_hparams(dim_input: int) -> dict:
+    return {
+        "task": "classification",
+        "supported_features": "tile",
+        "model_name": "barspoon",
+        "ground_truth_label": list(_BARSPOON_TARGETS),
+        "categories": {t: list(c) for t, c in _BARSPOON_TARGETS.items()},
+        "category_weights": {
+            t: torch.ones(len(c)) / len(c) for t, c in _BARSPOON_TARGETS.items()
+        },
+        "dim_input": dim_input,
+        "d_model": 32,
+        "num_encoder_heads": 4,
+        "num_decoder_heads": 4,
+        "num_encoder_layers": 2,
+        "num_decoder_layers": 2,
+        "dim_feedforward": 48,
+        "positional_encoding": True,
+        "learning_rate": 1e-4,
+        "train_patients": ["p1", "p2"],
+        "valid_patients": ["p3"],
+    }
+
+
+def test_reference_barspoon_ckpt_forward_parity(tmp_path):
+    torch.manual_seed(3)
+    dim_input = 24
+    oracle = _OracleEncDec(
+        dim_input, {t: len(c) for t, c in _BARSPOON_TARGETS.items()}
+    ).eval()
+
+    ckpt_path = tmp_path / "model.ckpt"
+    sd = {k: v.detach() for k, v in oracle.state_dict().items()}
+    _save_lightning_ckpt(ckpt_path, sd, _barspoon_hparams(dim_input))
+
+    model, variables = load_model_from_ckpt(ckpt_path)
+    assert model.categories == {t: list(c) for t, c in _BARSPOON_TARGETS.items()}
+
+    rng = np.random.default_rng(0)
+    bags = rng.normal(size=(2, 15, dim_input)).astype(np.float32)
+    coords = (rng.uniform(size=(2, 15, 2)) * 2000).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(bags), torch.from_numpy(coords))
+    got = model.module.apply(variables, bags, coords=coords, train=False)
+    assert set(got) == set(want)
+    for t in want:
+        np.testing.assert_allclose(
+            np.asarray(got[t]), want[t].numpy(), atol=1e-4, rtol=1e-4,
+            err_msg=t,
+        )
+
+
+def test_export_barspoon_roundtrip(tmp_path):
+    """export(load(ckpt)) reproduces a reference barspoon checkpoint: same
+    state-dict keys, equal tensors, equal forward after re-loading."""
+    from stamp_tpu.modeling.interop import save_reference_checkpoint
+
+    torch.manual_seed(4)
+    dim_input = 24
+    oracle = _OracleEncDec(
+        dim_input, {t: len(c) for t, c in _BARSPOON_TARGETS.items()}
+    ).eval()
+    src = tmp_path / "ref.ckpt"
+    sd = {k: v.detach() for k, v in oracle.state_dict().items()}
+    _save_lightning_ckpt(src, sd, _barspoon_hparams(dim_input))
+
+    model, variables = load_model_from_ckpt(src)
+    dst = tmp_path / "exported.ckpt"
+    save_reference_checkpoint(
+        dst, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+
+    want = torch.load(src, map_location="cpu", weights_only=False)
+    got = torch.load(dst, map_location="cpu", weights_only=False)
+    assert set(got["state_dict"]) == set(want["state_dict"])
+    for k, v in want["state_dict"].items():
+        np.testing.assert_allclose(
+            got["state_dict"][k].numpy(), v.numpy(), atol=1e-6, err_msg=k
+        )
+    hp = got["hyper_parameters"]
+    assert hp["model_name"] == "barspoon"
+    assert isinstance(hp["category_weights"], dict)
+    assert all(isinstance(w, torch.Tensor) for w in hp["category_weights"].values())
+
+    model2, variables2 = load_model_from_ckpt(dst)
+    rng = np.random.default_rng(1)
+    bags = rng.normal(size=(2, 11, dim_input)).astype(np.float32)
+    coords = (rng.uniform(size=(2, 11, 2)) * 1000).astype(np.float32)
+    a = model.module.apply(variables, bags, coords=coords, train=False)
+    b = model2.module.apply(variables2, bags, coords=coords, train=False)
+    for t in a:
+        np.testing.assert_allclose(
+            np.asarray(a[t]), np.asarray(b[t]), atol=1e-6, err_msg=t
+        )
+
+
+def test_export_repo_trained_barspoon_checkpoint(tmp_path):
+    """A barspoon model trained by THIS framework exports to a
+    reference-deployable Lightning checkpoint (npz → .ckpt → load)."""
+    import jax
+
+    from stamp_tpu.modeling.checkpoint import save_checkpoint
+    from stamp_tpu.modeling.interop import export_reference_checkpoint
+    from stamp_tpu.modeling.tasks import LitEncDecTransformer
+
+    model = LitEncDecTransformer(
+        dim_input=16,
+        ground_truth_label=list(_BARSPOON_TARGETS),
+        categories={t: list(c) for t, c in _BARSPOON_TARGETS.items()},
+        category_weights={
+            t: np.ones(len(c), np.float32) / len(c)
+            for t, c in _BARSPOON_TARGETS.items()
+        },
+        d_model=32,
+        num_encoder_heads=4,
+        num_decoder_heads=4,
+        dim_feedforward=48,
+        model_name="barspoon",
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(2, 8, 16)).astype(np.float32),
+        (rng.uniform(size=(2, 8, 2)) * 100).astype(np.float32),
+        np.array([8, 8], np.int32),
+        {
+            t: np.zeros((2, len(c)), np.float32)
+            for t, c in _BARSPOON_TARGETS.items()
+        },
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+
+    npz = tmp_path / "model.ckpt"
+    save_checkpoint(
+        npz, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+    out = tmp_path / "model.lightning.ckpt"
+    export_reference_checkpoint(npz, out)
+
+    model2, variables2 = load_model_from_ckpt(out)
+    a = model.module.apply(variables, batch[0], coords=batch[1], train=False)
+    b = model2.module.apply(variables2, batch[0], coords=batch[1], train=False)
+    for t in a:
+        np.testing.assert_allclose(
+            np.asarray(a[t]), np.asarray(b[t]), atol=1e-5, err_msg=t
+        )
