@@ -76,17 +76,25 @@ def load_chief_attention_net() -> ChiefAttentionNet:
             "(set STAMP_RANDOM_WEIGHTS=1 for smoke testing)."
         )
     sd = _load_torch_state_dict(path)
-    params = {
-        "fc_w": sd["attention_net.0.weight"],
-        "fc_b": sd["attention_net.0.bias"],
-        "a_w": sd["attention_net.3.attention_a.0.weight"],
-        "a_b": sd["attention_net.3.attention_a.0.bias"],
-        "b_w": sd["attention_net.3.attention_b.0.weight"],
-        "b_b": sd["attention_net.3.attention_b.0.bias"],
-        "c_w": sd["attention_net.3.attention_c.weight"],
-        "c_b": sd["attention_net.3.attention_c.bias"],
+    return ChiefAttentionNet(convert_chief_state_dict(sd))
+
+
+def convert_chief_state_dict(sd: dict) -> dict:
+    """Map the CHIEF_pretraining checkpoint's WSI gated-attention net (CLAM
+    layout under ``attention_net``: Linear stem, gated attention a/b/c) onto
+    the flat param dict ``ChiefAttentionNet`` consumes."""
+    import numpy as np
+
+    return {
+        "fc_w": np.asarray(sd["attention_net.0.weight"]),
+        "fc_b": np.asarray(sd["attention_net.0.bias"]),
+        "a_w": np.asarray(sd["attention_net.3.attention_a.0.weight"]),
+        "a_b": np.asarray(sd["attention_net.3.attention_a.0.bias"]),
+        "b_w": np.asarray(sd["attention_net.3.attention_b.0.weight"]),
+        "b_b": np.asarray(sd["attention_net.3.attention_b.0.bias"]),
+        "c_w": np.asarray(sd["attention_net.3.attention_c.weight"]),
+        "c_b": np.asarray(sd["attention_net.3.attention_c.bias"]),
     }
-    return ChiefAttentionNet(params)
 
 
 class CHIEF(Encoder):

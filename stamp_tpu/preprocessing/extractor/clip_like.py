@@ -123,6 +123,33 @@ def make_plip_extractor(identifier: str = "plip") -> Extractor:
     )
 
 
+def keep_split_state_dict(sd: dict) -> tuple[dict, dict]:
+    """Split a KEEP checkpoint into (timm trunk sd, head params).
+
+    The reference keep.py remaps ls1/ls2 ``.weight`` → ``.gamma`` and strips
+    the ``visual.`` prefix before handing the trunk to timm; the
+    ``visual_head`` Sequential (Linear → GELU → Linear) becomes the
+    projection head.  Mirrored here so the trunk feeds
+    ``convert_torch_state_dict`` unchanged."""
+    trunk: dict = {}
+    head_sd: dict = {}
+    for k, v in sd.items():
+        if k.startswith("visual_head."):
+            head_sd[k] = v
+        elif k.startswith("visual."):
+            kk = k[len("visual.") :]
+            if ".ls1.weight" in kk or ".ls2.weight" in kk:
+                kk = kk.replace(".weight", ".gamma")
+            trunk[kk] = v
+    head = {
+        "w0": np.asarray(head_sd["visual_head.0.weight"]),
+        "b0": np.asarray(head_sd["visual_head.0.bias"]),
+        "w2": np.asarray(head_sd["visual_head.2.weight"]),
+        "b2": np.asarray(head_sd["visual_head.2.bias"]),
+    }
+    return trunk, head
+
+
 def make_keep_extractor(identifier: str = "keep") -> Extractor:
     """KEEP: timm ViT-L/16 backbone + (Linear→GELU→Linear→ℓ2) head
     (reference extractor/keep.py)."""
@@ -155,25 +182,8 @@ def make_keep_extractor(identifier: str = "keep") -> Extractor:
                 "KEEP checkpoint into ~/.cache/stamp or STAMP_WEIGHTS_DIR."
             )
         sd = _load_torch_state_dict(path)
-        # reference keep.py remaps ls1/ls2 ".weight" → ".gamma" and strips
-        # the "visual." prefix; mirror that here
-        trunk = {}
-        head_sd = {}
-        for k, v in sd.items():
-            if k.startswith("visual_head."):
-                head_sd[k] = v
-            elif k.startswith("visual."):
-                kk = k[len("visual.") :]
-                if ".ls1.weight" in kk or ".ls2.weight" in kk:
-                    kk = kk.replace(".weight", ".gamma")
-                trunk[kk] = v
+        trunk, head = keep_split_state_dict(sd)
         variables = convert_torch_state_dict(trunk, cfg)
-        head = {
-            "w0": np.asarray(head_sd["visual_head.0.weight"]),
-            "b0": np.asarray(head_sd["visual_head.0.bias"]),
-            "w2": np.asarray(head_sd["visual_head.2.weight"]),
-            "b2": np.asarray(head_sd["visual_head.2.bias"]),
-        }
 
     variables = _bf16(variables)
     head = jax.device_put(jax.tree_util.tree_map(jnp.asarray, head))
