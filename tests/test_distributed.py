@@ -137,3 +137,75 @@ def test_local_fleet_two_processes():
     assert len(shares) == 2
     assert sorted(shares[0] + shares[1]) == list(range(13))
     assert "workflow-level mesh_shape training OK" in out
+
+
+def _make_fleet_cohort(wsi_dir, n_slides: int = 6, px: int = 1024) -> list[str]:
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    wsi_dir.mkdir(parents=True, exist_ok=True)
+    names = []
+    for i in range(n_slides):
+        img = np.full((px, px, 3), 255, np.uint8)
+        m = px // 8
+        img[m : px - m, m : px - m] = rng.integers(
+            40, 200, size=(px - 2 * m, px - 2 * m, 3)
+        ).astype(np.uint8)
+        name = f"slide_{i}.tiff"
+        Image.fromarray(img).save(
+            wsi_dir / name, compression="tiff_lzw",
+            resolution=10000.0, resolution_unit=3,  # 1 µm/px
+        )
+        names.append(name)
+    return names
+
+
+def test_extract_fleet_two_processes_shared_output(tmp_path):
+    """2 jax.distributed processes run the REAL extract_ over one shared
+    output dir (the reference's core multi-machine preprocessing behavior,
+    reference preprocessing/__init__.py:269-286): the union of h5s is the
+    complete cohort and the shares are disjoint (each slide extracted
+    exactly once)."""
+    from stamp_tpu.parallel._extract_fleet_dryrun import launch_extract_fleet
+
+    names = _make_fleet_cohort(tmp_path / "wsi")
+    out_dir = tmp_path / "out"
+    combined = launch_extract_fleet(tmp_path / "wsi", out_dir, 2, timeout=600)
+
+    h5s = sorted(p.stem for p in out_dir.rglob("*.h5"))
+    assert h5s == sorted(n.removesuffix(".tiff") for n in names)
+
+    # disjoint shares: every slide was extracted by exactly one worker
+    shares = [
+        int(line.split("takes ")[1].split(" slides")[0])
+        for line in combined.splitlines()
+        if "extraction fleet: process" in line
+    ]
+    assert len(shares) == 2 and sum(shares) == len(names)
+    assert all(s > 0 for s in shares), f"degenerate split {shares}"
+
+
+def test_extract_fleet_crashed_worker_pickup(tmp_path):
+    """A worker that dies after claiming its share leaves the cohort
+    incomplete; a later run completes it via skip-if-exists (the
+    crash-pickup contract, executed)."""
+    from stamp_tpu.parallel._extract_fleet_dryrun import launch_extract_fleet
+
+    names = _make_fleet_cohort(tmp_path / "wsi")
+    out_dir = tmp_path / "out"
+
+    launch_extract_fleet(tmp_path / "wsi", out_dir, 2, timeout=600, crash_pid=1)
+    after_crash = sorted(p.stem for p in out_dir.rglob("*.h5"))
+    assert 0 < len(after_crash) < len(names), (
+        f"crash simulation produced {len(after_crash)}/{len(names)} h5s"
+    )
+
+    # pickup: a fresh single-process run completes the cohort, skipping the
+    # surviving worker's outputs instead of recomputing them
+    combined = launch_extract_fleet(tmp_path / "wsi", out_dir, 1, timeout=600)
+    h5s = sorted(p.stem for p in out_dir.rglob("*.h5"))
+    assert h5s == sorted(n.removesuffix(".tiff") for n in names)
+    n_skipped = sum(
+        1 for line in combined.splitlines() if "already exists" in line
+    )
+    assert n_skipped == len(after_crash)
