@@ -285,9 +285,13 @@ def _ln_quant_dense_kernel(
 def ln_quant_dense_reference(
     x, scale, bias, s_x, kernel_q, w_scale, dense_bias=None, *, eps=1e-6
 ):
-    """Unfused XLA semantics the kernel is pinned against — identical to the
+    """Unfused XLA semantics the kernel is pinned against, matching the
     QuantDense int8 branch: f32 LN cast to the activation dtype, static-scale
-    int8 quantize, int8 dot with i32 accumulation, f32 dequant + bias."""
+    int8 quantize, int8 dot with i32 accumulation, f32 dequant.  One caveat:
+    here (and in the fused kernel) ``dense_bias`` is added in f32 *before*
+    the output cast, while the unfused QuantDense branch adds it after
+    casting to ``x.dtype`` — up to ~1 ulp of the activation dtype apart
+    (measured 5e-7 in f32)."""
     y = _ln(x, scale, bias, eps).astype(x.dtype)
     xq = jnp.clip(
         jnp.round(y.astype(jnp.float32) * (127.0 / s_x)), -127, 127
@@ -305,6 +309,71 @@ def ln_quant_dense_reference(
     return out.astype(x.dtype)
 
 
+def _ln_quant_dense_pallas(x2d, scale, bias, s_x, kernel_q, w_scale, db, eps, bm, bn):
+    m, k = x2d.shape
+    n = kernel_q.shape[1]
+    return pl.pallas_call(
+        functools.partial(_ln_quant_dense_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2d.dtype),
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(
+        x2d,
+        scale.reshape(1, k).astype(jnp.float32),
+        bias.reshape(1, k).astype(jnp.float32),
+        jnp.asarray(s_x, jnp.float32).reshape(1),
+        kernel_q,
+        w_scale.reshape(1, n).astype(jnp.float32),
+        db.reshape(1, n).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_quant_dense_core(x2d, scale, bias, s_x, kernel_q, w_scale, db, eps, bm, bn):
+    return _ln_quant_dense_pallas(
+        x2d, scale, bias, s_x, kernel_q, w_scale, db, eps, bm, bn
+    )
+
+
+def _ln_quant_dense_core_fwd(x2d, scale, bias, s_x, kernel_q, w_scale, db, eps, bm, bn):
+    out = _ln_quant_dense_pallas(
+        x2d, scale, bias, s_x, kernel_q, w_scale, db, eps, bm, bn
+    )
+    return out, (x2d, scale, bias, s_x, kernel_q, w_scale, db)
+
+
+def _ln_quant_dense_core_bwd(eps, bm, bn, residuals, dy):
+    # Differentiate the unfused reference formulation (ln_dense precedent):
+    # the round/clip quantize stops gradients to x exactly like the unfused
+    # QuantDense int8 branch, so jacobians through an int8 extractor agree
+    # between fused and unfused paths instead of trapping on a missing
+    # pallas AD rule.
+    def ref(x2d, scale, bias, s_x, kernel_q, w_scale, db):
+        return ln_quant_dense_reference(
+            x2d, scale, bias, s_x, kernel_q, w_scale, db, eps=eps
+        )
+
+    _, vjp = jax.vjp(ref, *residuals)
+    return vjp(dy)
+
+
+_ln_quant_dense_core.defvjp(_ln_quant_dense_core_fwd, _ln_quant_dense_core_bwd)
+
+
 def ln_quant_dense(
     x, scale, bias, s_x, kernel_q, w_scale, dense_bias=None, *, eps=1e-6
 ):
@@ -313,8 +382,10 @@ def ln_quant_dense(
     ``x``: [..., K] activation; ``scale``/``bias``: [K] LN params; ``s_x``:
     scalar static activation scale (calibrated amax with headroom);
     ``kernel_q``: [K, N] int8; ``w_scale``: [N] f32 per-out-channel dequant
-    scale; ``dense_bias``: [N] or None.  Inference-only (the quantize is
-    non-differentiable, exactly like the unfused path).
+    scale; ``dense_bias``: [N] or None.  The production path is
+    inference-only; differentiating through it recomputes via the unfused
+    reference (custom VJP), whose round/clip quantize blocks gradients to
+    ``x`` exactly like the unfused int8 branch.
     """
     k = x.shape[-1]
     n = kernel_q.shape[1]
@@ -326,38 +397,21 @@ def ln_quant_dense(
         )
     else:
         bm, bn = tiles
-        m = x2d.shape[0]
         db = (
             dense_bias
             if dense_bias is not None
             else jnp.zeros((n,), jnp.float32)
         )
-        out = pl.pallas_call(
-            functools.partial(_ln_quant_dense_kernel, eps=eps),
-            out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-            grid=(m // bm, n // bn),
-            in_specs=[
-                pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
-                pl.BlockSpec((1, k), lambda i, j: (0, 0)),
-                pl.BlockSpec((1, k), lambda i, j: (0, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((k, bn), lambda i, j: (0, j)),
-                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
-            scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=128 * 1024 * 1024,
-            ),
-        )(
+        out = _ln_quant_dense_core(
             x2d,
-            scale.reshape(1, k).astype(jnp.float32),
-            bias.reshape(1, k).astype(jnp.float32),
-            jnp.asarray(s_x, jnp.float32).reshape(1),
+            scale,
+            bias,
+            jnp.asarray(s_x, jnp.float32),
             kernel_q,
-            w_scale.reshape(1, n).astype(jnp.float32),
-            db.reshape(1, n).astype(jnp.float32),
+            w_scale,
+            db,
+            eps,
+            bm,
+            bn,
         )
     return out.reshape(*x.shape[:-1], n)

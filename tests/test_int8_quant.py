@@ -285,3 +285,66 @@ def test_int8_ctranspath_factory(monkeypatch):
     monkeypatch.delenv("STAMP_INT8_EXTRACTION")
 
     assert (_cos(ref, quant) > 0.98).all()
+
+
+def test_int8_fused_ln_dense_model_level(monkeypatch):
+    """Model-level wiring of the FUSED int8 path (vit_image QuantDense →
+    ops/ln_dense.ln_quant_dense): CI runs on CPU where _use_fused_ln_dense
+    is False, so a wiring regression (e.g. a bias double-add around the
+    fused call) would only ever surface on TPU.  Force the fused branch on
+    with pallas in interpret mode and pin it against the unfused branch.
+    Dims are chosen so every QuantDense site tiles (k, n multiples of 128
+    with n ≥ 256; tokens×batch a multiple of 256)."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from stamp_tpu.models import vit_image
+    from stamp_tpu.models.vit_image import (
+        ImageViT,
+        ViTConfig,
+        quantize_vit_params,
+    )
+
+    cfg_f = ViTConfig(
+        img_size=64,
+        patch_size=32,
+        embed_dim=256,
+        depth=1,
+        num_heads=2,
+        mlp_ratio=4.0,
+        quant="off",
+    )
+    # tokens = 4 patches + 1 cls = 5; batch 64 → m = 320... need %256 == 0:
+    # batch 256 → m = 1280 (bm=256 tiles).  Keep depth 1 for interpret speed.
+    batch = 256
+    import jax
+
+    variables = ImageViT(cfg_f).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    qparams = quantize_vit_params(variables["params"], cfg_f)
+    act_stats = {
+        "block_0": {
+            "attn": {k: {"amax": jnp.float32(30.0)} for k in ("qkv", "proj")},
+            "mlp": {k: {"amax": jnp.float32(30.0)} for k in ("fc1", "fc2")},
+        }
+    }
+    cfg_q = ViTConfig(**{**cfg_f.__dict__, "quant": "int8"})
+    qvars = {"params": qparams, "act_stats": act_stats}
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(batch, 64, 64, 3)).astype(np.float32))
+
+    unfused = np.asarray(ImageViT(cfg_q).apply(qvars, x))
+
+    monkeypatch.setattr(vit_image, "_use_fused_ln_dense", lambda: True)
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    fused = np.asarray(ImageViT(cfg_q).apply(qvars, x))
+
+    # identical quantize + exact i32 dots; only the f32-vs-cast bias order
+    # differs (ops/ln_dense.py docstring) — tolerance covers that ulp
+    np.testing.assert_allclose(fused, unfused, atol=1e-4, rtol=1e-4)
+    assert np.abs(fused).max() > 0  # not trivially zero

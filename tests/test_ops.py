@@ -356,7 +356,9 @@ def test_ln_quant_dense_fused_matches_reference(interpret_pallas):
     )
 
     rng = np.random.default_rng(3)
-    m, k, n = 512, 128, 256  # tiles onto the (256, 256) grid path
+    # bm=512, bn=1024 → grid (1, 2): the j=1 step re-reads the int8 VMEM
+    # scratch written at j=0, covering the scratch-reuse path
+    m, k, n = 512, 128, 2048
     x = jnp.asarray(rng.normal(size=(2, m // 2, k)).astype(np.float32))
     g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
@@ -399,3 +401,43 @@ def test_ln_quant_dense_untileable_falls_back():
     got = ln_quant_dense(x, g, b, s_x, wq, ws)
     ref = ln_quant_dense_reference(x, g, b, s_x, wq, ws)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_ln_quant_dense_gradients_match_unfused(interpret_pallas):
+    """The fused int8 path must differentiate (custom VJP recomputing via
+    the unfused reference) instead of trapping on a missing pallas AD rule,
+    and its gradients must equal the unfused formulation's — including the
+    zero gradient to x through the round/clip quantize."""
+    from stamp_tpu.ops.ln_dense import (
+        ln_quant_dense,
+        ln_quant_dense_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    m, k, n = 512, 128, 2048  # fused-tileable (bm=512, bn=1024)
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    s_x = jnp.asarray(6.0, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(k, n)), dtype=jnp.int8)
+    ws = jnp.asarray((rng.uniform(0.5, 2.0, size=(n,)) * 1e-3).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    tangent = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, g, b, ws, d: jnp.sum(
+            fn(x, g, b, s_x, wq, ws, d) * tangent
+        )
+
+    got = jax.grad(loss(ln_quant_dense), argnums=(0, 1, 2, 3, 4))(
+        x, g, b, ws, d
+    )
+    ref = jax.grad(loss(ln_quant_dense_reference), argnums=(0, 1, 2, 3, 4))(
+        x, g, b, ws, d
+    )
+    for got_g, ref_g in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(ref_g), atol=1e-5, rtol=1e-5
+        )
+    # round/clip blocks gradients to the activation on BOTH paths
+    np.testing.assert_allclose(np.asarray(got[0]), 0.0)
