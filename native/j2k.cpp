@@ -18,7 +18,8 @@
 //     is false and TiffSlide falls back to the raw-tile/Pillow path that
 //     shipped in earlier rounds.
 //
-// Decode correctness is pinned by tests/test_j2k_svs.py: a Pillow
+// Decode correctness is pinned by the J2K cases in
+// tests/test_preprocessing.py (test_j2k_* around line 203): a Pillow
 // (itself openjpeg-backed) lossless-encoded J2K tiled TIFF must come back
 // bit-exact through the native path.
 

@@ -37,6 +37,9 @@ VARIANTS: dict[str, dict] = {
 def run_variant() -> None:
     import functools
 
+    # repo root on sys.path (PYTHONPATH would break the axon TPU claim)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation_cache"
     )
@@ -113,14 +116,21 @@ def main() -> None:
         env = dict(os.environ)
         env.update(VARIANTS.get(name, {}))
         env["STAMP_PROBE_VARIANT"] = name
-        proc = subprocess.run(
-            [sys.executable, __file__, "--worker"],
-            env=env,
-            cwd=here,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker"],
+                env=env,
+                cwd=here,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # the no-flash variant's remote compile exceeded 30 min on
+            # 2026-08-20 — report and continue instead of sinking the sweep
+            print(json.dumps({"variant": name, "error": "compile/run >1800s"}),
+                  flush=True)
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)

