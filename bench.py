@@ -263,8 +263,15 @@ def main() -> None:
     if os.environ.get("STAMP_BENCH_E2E", "1") != "0":
         try:
             here = os.path.dirname(os.path.abspath(__file__))
+            # 2×2048px TIFFs (+2 MIRAX): ~160 tiles keeps the uni2 pass
+            # bounded through the ~25 MB/s relay (full-size probe: 887 s)
             proc = subprocess.run(
-                [sys.executable, os.path.join(here, "scripts", "e2e_extract_probe.py")],
+                [
+                    sys.executable,
+                    os.path.join(here, "scripts", "e2e_extract_probe.py"),
+                    "2",
+                    "2048",
+                ],
                 capture_output=True, text=True, timeout=1500, cwd=here,
             )
             for line in reversed(proc.stdout.strip().splitlines()):

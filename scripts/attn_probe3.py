@@ -205,20 +205,25 @@ def main():
         jax.devices()[0],
     )
 
+    # the relay's AOT compile service ignores LIBTPU_INIT_ARGS (observed
+    # 2026-08-20) — forward the scoped-vmem limit per-compile instead
+    _jit = functools.partial(
+        jax.jit, compiler_options={"xla_tpu_scoped_vmem_limit_kib": "49152"}
+    )
     fq = functools.partial(fused_qkv_mha, num_heads=H)
-    o0 = timeit("fused_qkv (shipped)", jax.jit(fq), qkv)
-    o1 = timeit("ps_flat (1-op softmax)", functools.partial(ps_flat_mha, num_heads=H), qkv)
+    o0 = timeit("fused_qkv (shipped)", _jit(fq), qkv)
+    o1 = timeit("ps_flat (1-op softmax)", _jit(functools.partial(ps_flat_mha, num_heads=H)), qkv)
     o2 = timeit(
         "ps_flat2 (defer norm)",
-        functools.partial(ps_flat_mha, num_heads=H, defer_norm=True),
+        _jit(functools.partial(ps_flat_mha, num_heads=H, defer_norm=True)),
         qkv,
     )
     o3 = timeit(
         "nomax (numerics probe)",
-        functools.partial(ps_flat_mha, num_heads=H, subtract_max=False),
+        _jit(functools.partial(ps_flat_mha, num_heads=H, subtract_max=False)),
         qkv,
     )
-    o4 = timeit("bd (transposed+flat)", functools.partial(bd_mha, num_heads=H), qkv)
+    o4 = timeit("bd (transposed+flat)", _jit(functools.partial(bd_mha, num_heads=H)), qkv)
 
     for name, o in [("ps_flat", o1), ("ps_flat2", o2), ("nomax", o3), ("bd", o4)]:
         d = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))

@@ -63,6 +63,22 @@ def run_variant() -> None:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), variables
         )
+    if os.environ.get("STAMP_PROBE_INT8") == "1":
+        from dataclasses import replace
+
+        from stamp_tpu.models.vit_image import quantize_vit_params
+
+        with jax.default_device(cpu):
+            qparams = quantize_vit_params(variables["params"], cfg)
+            act_stats = {
+                f"block_{i}": {
+                    "attn": {k: {"amax": jnp.float32(30.0)} for k in ("qkv", "proj")},
+                    "mlp": {k: {"amax": jnp.float32(30.0)} for k in ("fc1", "fc2")},
+                }
+                for i in range(cfg.depth)
+            }
+        cfg = replace(cfg, quant="int8")
+        variables = {"params": qparams, "act_stats": act_stats}
     dev = jax.devices()[0]
     vars_dev = jax.device_put(variables, dev)
 
