@@ -58,7 +58,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation
 os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=49152")
 
 A100_BASELINE_TILES_PER_SEC = 450.0
-BATCH = 256  # throughput sweet spot on v5e; compile is in the persistent cache
+# batch 512: the throughput sweet spot moved under the toolchain refresh the
+# relay shipped between rounds 3 and 4 (measured r5: bf16 217→245 t/s and
+# int8 264→296 t/s going 256→512; 1024 adds only +2%, scripts/
+# perf_bisect_probe.py).  Production extraction batches stay env-tunable
+# (STAMP_EXTRACT_BATCH, default 64 = reference parity).
+BATCH = 512
 
 # v5e peak per chip: 197 bf16 TFLOPs, 394 int8 TOPS (public spec).
 V5E_PEAK_FLOPS = {"bf16": 197e12, "int8": 394e12}
