@@ -865,3 +865,51 @@ def test_export_repo_trained_barspoon_checkpoint(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a[t]), np.asarray(b[t]), atol=1e-5, err_msg=t
         )
+
+
+def test_reference_barspoon_ckpt_deploys_end_to_end(tmp_path):
+    """A reference-format BARSPOON checkpoint drives multi-target
+    `stamp deploy` unchanged: per-target prediction columns with softmax
+    rows (reference deploy.py:49-58 + barspoon predict_step semantics)."""
+    from random_data import create_random_multi_target_dataset
+
+    torch.manual_seed(6)
+    dim_input = 24
+    oracle = _OracleEncDec(
+        dim_input, {t: len(c) for t, c in _BARSPOON_TARGETS.items()}
+    ).eval()
+    ckpt_path = tmp_path / "model.ckpt"
+    sd = {k: v.detach() for k, v in oracle.state_dict().items()}
+    _save_lightning_ckpt(ckpt_path, sd, _barspoon_hparams(dim_input))
+
+    (tmp_path / "data").mkdir()
+    clini, slide, feats, _ = create_random_multi_target_dataset(
+        dir=tmp_path / "data",
+        n_patients=6,
+        max_slides_per_patient=1,
+        min_tiles_per_slide=8,
+        max_tiles_per_slide=24,
+        feat_dim=dim_input,
+        target_labels=list(_BARSPOON_TARGETS),
+        categories_per_target=[list(c) for c in _BARSPOON_TARGETS.values()],
+    )
+    deploy_categorical_model_(
+        output_dir=tmp_path / "deploy",
+        checkpoint_paths=[ckpt_path],
+        clini_table=clini,
+        slide_table=slide,
+        feature_dir=feats,
+        ground_truth_label=list(_BARSPOON_TARGETS),
+        time_label=None,
+        status_label=None,
+        patient_label="patient",
+        filename_label="slide_path",
+        num_workers=1,
+        accelerator="cpu",
+    )
+    df = pd.read_csv(tmp_path / "deploy" / "patient-preds.csv")
+    assert len(df) == 6
+    for t, cats in _BARSPOON_TARGETS.items():
+        assert f"pred_{t}" in df.columns
+        score_cols = [f"{t}_{c}" for c in cats]
+        assert ((df[score_cols].sum(axis=1) - 1).abs() < 1e-5).all()
