@@ -127,6 +127,9 @@ def run_variant() -> None:
 
 def main() -> None:
     names = sys.argv[1:] or list(VARIANTS)
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        sys.exit(f"unknown variant(s) {unknown}; choose from {list(VARIANTS)}")
     here = Path(__file__).resolve().parent.parent
     for name in names:
         env = dict(os.environ)

@@ -71,9 +71,13 @@ def main(argv: list[str]) -> None:
         if pid == 0:
             # the coordinator hosts the coordination service — its death
             # fatals any peer still polling, so it must leave LAST: wait
-            # for every peer's exit marker (bounded; a hung peer must not
-            # hang the fleet forever)
-            deadline = time.monotonic() + 120
+            # for every peer's exit marker, bounded by the same order of
+            # time as the launcher's own timeout (a hung peer must not
+            # hang the fleet forever, but a slow peer must not be killed
+            # mid-extraction either)
+            deadline = time.monotonic() + float(
+                os.environ.get("STAMP_FLEET_EXIT_GRACE_S", "600")
+            )
             while time.monotonic() < deadline:
                 if all(
                     (out_dir / f".fleet_exit_{p}").exists()

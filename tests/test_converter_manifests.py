@@ -179,8 +179,6 @@ def test_ticon_manifest_roundtrip():
 
 @pytest.mark.parametrize("name", ["conch", "conch1_5"])
 def test_coca_manifest_roundtrip(name):
-    from dataclasses import replace
-
     from manifest_util import coca_manifest
 
     from stamp_tpu.models.coca import (
@@ -257,22 +255,19 @@ def test_keep_manifest_roundtrip():
     manifest = keep_manifest()
     sd = {k: np.zeros(s, np.float32) for k, s in manifest.items()}
     trunk, head = keep_split_state_dict(sd)
-    converted = convert_torch_state_dict(TrackingDict_from(trunk), cfg)
+    tracked = TrackingDict({k: tuple(v.shape) for k, v in trunk.items()})
+    converted = convert_torch_state_dict(tracked, cfg)
     shapes = jax.eval_shape(
         ImageViT(cfg).init,
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32),
     )
-    _assert_full_coverage("keep/trunk", {}, converted, _shape_tree(shapes))
+    _assert_full_coverage("keep/trunk", tracked, converted, _shape_tree(shapes))
     assert {k: v.shape for k, v in head.items()} == {
         "w0": (768, cfg.embed_dim), "b0": (768,), "w2": (768, 768), "b2": (768,),
     }
     # every checkpoint key must land in exactly one of trunk/head
     assert len(trunk) + 4 == len(manifest)
-
-
-def TrackingDict_from(plain: dict) -> dict:
-    return dict(plain)
 
 
 @pytest.mark.parametrize(
