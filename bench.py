@@ -93,6 +93,9 @@ def analytical_forward_flops(cfg, batch: int) -> float:
     return per_tile * batch
 
 
+_T_START = time.perf_counter()
+
+
 def main() -> None:
     import jax
 
@@ -263,9 +266,21 @@ def main() -> None:
         label = "bf16"
 
     # end-to-end slides/hour through the real extract_ pipeline (VERDICT r4
-    # item 7); subprocess-isolated so a probe failure can't sink the bench
+    # item 7); subprocess-isolated so a probe failure can't sink the bench.
+    # Budget-aware: compiles pay full price every run now (the relay's AOT
+    # compile service stopped reusing the persistent cache), so if the
+    # core measurement already consumed most of a plausible driver timeout,
+    # skip the probe rather than risk the whole bench being killed with
+    # its one JSON line unprinted.
     e2e = None
-    if os.environ.get("STAMP_BENCH_E2E", "1") != "0":
+    elapsed = time.perf_counter() - _T_START
+    budget = float(os.environ.get("STAMP_BENCH_BUDGET_S", "1500"))
+    if elapsed + 420 > budget:
+        print(
+            f"skipping e2e probe: {elapsed:.0f}s elapsed of {budget:.0f}s budget",
+            file=sys.stderr,
+        )
+    elif os.environ.get("STAMP_BENCH_E2E", "1") != "0":
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             # 2×2048px TIFFs (+2 MIRAX): ~160 tiles keeps the uni2 pass
@@ -277,7 +292,8 @@ def main() -> None:
                     "2",
                     "2048",
                 ],
-                capture_output=True, text=True, timeout=1500, cwd=here,
+                capture_output=True, text=True,
+                timeout=max(60.0, budget - elapsed - 30.0), cwd=here,
             )
             for line in reversed(proc.stdout.strip().splitlines()):
                 line = line.strip()
