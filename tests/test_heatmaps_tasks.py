@@ -180,3 +180,54 @@ def test_streaming_rollout_matches_dense(monkeypatch):
     monkeypatch.setattr(gen, "STREAMING_ROLLOUT_MIN_SEQ", 1)
     streamed = gen._attention_rollout_single(model, variables, feats, coords)
     np.testing.assert_allclose(streamed, dense, atol=1e-4)
+
+
+def test_trans_mil_heatmaps_end_to_end(tmp_path):
+    """Grad-CAM heatmaps work for a TransMIL checkpoint (the reference's
+    gradcam passes coords= to model.forward, which the reference TransMIL
+    signature rejects — trans_mil.py:81-84 — so this exceeds reference
+    capability; our jacrev path goes through forward_args and is
+    backbone-generic)."""
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+    from stamp_tpu.models.trans_mil import TransMIL
+
+    feat_dim = 8
+    wsi_dir, feat_dir = _fake_cohort(tmp_path, feat_dim)
+    model = LitTileClassifier(
+        model_class=TransMIL,
+        ground_truth_label="gt",
+        categories=["neg", "pos"],
+        category_weights=np.array([0.5, 0.5], np.float32),
+        dim_input=feat_dim,
+        model_name="trans_mil",
+        dim_hidden=32,
+        total_steps=8,
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(1, 4, feat_dim)).astype(np.float32),
+        (rng.uniform(size=(1, 4, 2)) * 500).astype(np.float32),
+        np.array([4], np.int32),
+        np.zeros((1, 2), np.float32),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(
+        ckpt, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+
+    heatmaps_(
+        feature_dir=feat_dir,
+        wsi_dir=wsi_dir,
+        checkpoint_path=ckpt,
+        output_dir=tmp_path / "out",
+        slide_paths=None,
+        default_slide_mpp=256.0 / 224.0,
+        opacity=0.6,
+        topk=1,
+        bottomk=1,
+    )
+    out = tmp_path / "out" / "slide1"
+    assert (out / "raw").is_dir()
+    assert list((out / "raw").glob("*.png"))
+    assert len(list((out / "tiles").glob("*.jpg"))) >= 2
