@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Collection, Iterable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from functools import partial
 from pathlib import Path
 from typing import cast
@@ -39,7 +39,10 @@ supported_extensions = {
 }  # fmt: skip
 
 
-def _forward_fn(model, variables):
+def _forward_fn(model, variables, target: str | None = None):
+    """Whole-bag forward.  For multi-target models (barspoon) pass
+    ``target`` to select one head's logits; with ``target=None`` a dict
+    output is returned per target (each de-batched)."""
     module = model.module
     uses_coords = model.uses_coords
 
@@ -47,16 +50,22 @@ def _forward_fn(model, variables):
         kwargs: dict = dict(train=False)
         if uses_coords:
             kwargs.update(coords=coords[None], key_mask=None)
-        return module.apply(variables, feats[None], **kwargs)[0]
+        out = module.apply(variables, feats[None], **kwargs)
+        if target is not None:
+            out = out[target]
+        if isinstance(out, dict):
+            return {k: v[0] for k, v in out.items()}
+        return out[0]
 
     return fwd
 
 
 def _gradcam_per_category(
-    model, variables, feats: np.ndarray, coords: np.ndarray
+    model, variables, feats: np.ndarray, coords: np.ndarray,
+    target: str | None = None,
 ) -> np.ndarray:
     """[tile, category] Grad-CAM scores (reference heatmaps/__init__.py:36-56)."""
-    fwd = _forward_fn(model, variables)
+    fwd = _forward_fn(model, variables, target)
     coords_j = jnp.asarray(coords)
     jac = jax.jacrev(lambda f: fwd(f, coords_j))(jnp.asarray(feats))
     # jac: [category, tile, feature]
@@ -168,7 +177,8 @@ def _attention_rollout_single(
 
 
 def _per_tile_scores(
-    model, variables, feats: np.ndarray, coords: np.ndarray
+    model, variables, feats: np.ndarray, coords: np.ndarray,
+    target: str | None = None,
 ) -> np.ndarray:
     """Per-tile class scores via bag-of-one forwards, vmapped
     (reference heatmaps/__init__.py:417-430)."""
@@ -179,7 +189,10 @@ def _per_tile_scores(
         kwargs: dict = dict(train=False)
         if uses_coords:
             kwargs.update(coords=c[None, None], key_mask=None)
-        return module.apply(variables, f[None, None], **kwargs)[0]
+        out = module.apply(variables, f[None, None], **kwargs)
+        if target is not None:
+            out = out[target]
+        return out[0]
 
     logits = jax.vmap(single)(jnp.asarray(feats), jnp.asarray(coords))
     return np.asarray(jax.nn.softmax(logits, axis=1))
@@ -426,19 +439,25 @@ def _emit_classification(
     opacity: float,
     topk: int,
     bottomk: int,
+    categories: list[str] | None = None,
+    target: str | None = None,
 ) -> None:
     """Classification heatmaps: per-category diverging maps whose sign is
     the category's *support* (winner margin vs runner-up) and whose
     intensity is Grad-CAM attention; plus class map, overlays, overview,
-    and ranked tiles for the predicted category."""
+    and ranked tiles for the predicted category.  ``target`` selects one
+    head of a multi-target (barspoon) model; ``categories`` then carries
+    that target's category list."""
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits)))
-    categories = list(model.categories)
+    categories = (
+        list(categories) if categories is not None else list(model.categories)
+    )
     predicted = int(probs.argmax())
 
     gradcam = _gradcam_per_category(
-        model, variables, job.feats, job.coords_um
+        model, variables, job.feats, job.coords_um, target
     )  # [tile, category]
-    scores = _per_tile_scores(model, variables, job.feats, job.coords_um)
+    scores = _per_tile_scores(model, variables, job.feats, job.coords_um, target)
     occupied = job.grid(np.ones(len(job.feats))).squeeze(-1) > 0
 
     thumb = _slide_thumbnail(job.slide, occupied.shape, job.default_slide_mpp)
@@ -625,19 +644,35 @@ def _heatmaps_impl(
 
         _logger.info(f"creating heatmaps for {wsi_path.name}")
         job = _load_slide_job(wsi_path, h5_path, output_dir, default_slide_mpp)
-        logits = np.asarray(
-            fwd(jnp.asarray(job.feats), jnp.asarray(job.coords_um))
-        )
+        out = fwd(jnp.asarray(job.feats), jnp.asarray(job.coords_um))
 
         task = model.hparams["task"]
-        if task == "classification":
+        if task == "classification" and isinstance(out, dict):
+            # multi-target (barspoon): one full heatmap set per target,
+            # filenames suffixed with the sanitized target label.  The
+            # reference has no counterpart — its gradcam passes coords=
+            # into model.forward and expects a tensor back
+            # (heatmaps/__init__.py:36-56), which the EncDec dict breaks.
+            from stamp_tpu.models.barspoon import sanitize
+
+            for t_label, cats in model.categories.items():
+                tjob = dc_replace(
+                    job, stem=f"{job.stem}-{sanitize(t_label)}"
+                )
+                _emit_classification(
+                    tjob, model, variables, np.asarray(out[t_label]),
+                    opacity=opacity, topk=topk, bottomk=bottomk,
+                    categories=list(cats), target=t_label,
+                )
+        elif task == "classification":
+            logits = np.asarray(out)
             _emit_classification(
                 job, model, variables, logits,
                 opacity=opacity, topk=topk, bottomk=bottomk,
             )
         elif task in ("regression", "survival"):
             _emit_scalar(
-                job, model, variables, logits,
+                job, model, variables, np.asarray(out),
                 task=task, opacity=opacity, topk=topk, bottomk=bottomk,
             )
         else:

@@ -231,3 +231,59 @@ def test_trans_mil_heatmaps_end_to_end(tmp_path):
     assert (out / "raw").is_dir()
     assert list((out / "raw").glob("*.png"))
     assert len(list((out / "tiles").glob("*.jpg"))) >= 2
+
+
+def test_multitarget_barspoon_heatmaps(tmp_path):
+    """Multi-target (barspoon) checkpoints emit one full heatmap set PER
+    TARGET, filenames suffixed with the sanitized target label — beyond
+    reference capability (its gradcam breaks on the EncDec dict output)."""
+    from stamp_tpu.modeling.tasks import LitEncDecTransformer
+
+    feat_dim = 8
+    wsi_dir, feat_dir = _fake_cohort(tmp_path, feat_dim)
+    targets = {"KRAS": ["mut", "wt"], "grade x": ["g1", "g2", "g3"]}
+    model = LitEncDecTransformer(
+        dim_input=feat_dim,
+        ground_truth_label=list(targets),
+        categories={t: list(c) for t, c in targets.items()},
+        category_weights={
+            t: np.ones(len(c), np.float32) / len(c) for t, c in targets.items()
+        },
+        d_model=16,
+        num_encoder_heads=2,
+        num_decoder_heads=2,
+        dim_feedforward=32,
+        model_name="barspoon",
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(1, 4, feat_dim)).astype(np.float32),
+        (rng.uniform(size=(1, 4, 2)) * 500).astype(np.float32),
+        np.array([4], np.int32),
+        {t: np.zeros((1, len(c)), np.float32) for t, c in targets.items()},
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(
+        ckpt, hyper_parameters=model.checkpoint_hparams(), variables=variables
+    )
+
+    heatmaps_(
+        feature_dir=feat_dir,
+        wsi_dir=wsi_dir,
+        checkpoint_path=ckpt,
+        output_dir=tmp_path / "out",
+        slide_paths=None,
+        default_slide_mpp=256.0 / 224.0,
+        opacity=0.6,
+        topk=1,
+        bottomk=1,
+    )
+    raw = tmp_path / "out" / "slide1" / "raw"
+    for stem_suffix, cats in (("KRAS", ["mut", "wt"]), ("grade_x", ["g1", "g2", "g3"])):
+        assert (raw / f"slide1-{stem_suffix}-classmap.png").exists()
+        # one probability-labelled panel per category of this target
+        for c in cats:
+            assert list(raw.glob(f"slide1-{stem_suffix}-{c}=*.png")), (
+                stem_suffix, c,
+            )
