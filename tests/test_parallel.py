@@ -180,3 +180,50 @@ def test_pp_pipeline_extractor_forward_matches_single_device():
     bad_mesh = Mesh(np.array(jax.devices()[:3]), ("pp",))
     with pytest.raises(ValueError, match="not divisible"):
         make_pp_forward(module, variables, bad_mesh, n_microbatches=4)
+
+
+def test_dp_sharded_barspoon_train_step():
+    """Multi-target (barspoon) training shards over the (dp, sp) mesh: the
+    dict-of-targets leaf structure rides the pytree-prefix batch sharding,
+    and one step returns a finite replicated loss."""
+    from stamp_tpu.modeling.tasks import LitEncDecTransformer
+
+    targets = {"KRAS": ["mut", "wt"], "BRAF": ["mut", "wt"]}
+    model = LitEncDecTransformer(
+        dim_input=12,
+        ground_truth_label=list(targets),
+        categories=targets,
+        category_weights={t: np.ones(2, np.float32) / 2 for t in targets},
+        d_model=16,
+        num_encoder_heads=2,
+        num_decoder_heads=2,
+        dim_feedforward=32,
+        model_name="barspoon",
+    )
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    batch = (
+        rng.normal(size=(B, T, 12)).astype(np.float32),
+        (rng.uniform(size=(B, T, 2)) * 500).astype(np.float32),
+        np.full((B,), T, np.int32),
+        {t: np.tile(np.array([[1.0, 0.0]], np.float32), (B, 1)) for t in targets},
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(8, axes=("dp", "sp"))
+    tx = model.make_optimizer()
+    step, shardings = make_dp_train_step(model, tx, mesh, sp_axis="sp")
+    params = variables["params"]
+    state = {k: v for k, v in variables.items() if k != "params"}
+    opt_state = tx.init(params)
+    before = jax.tree_util.tree_map(np.asarray, params)  # step donates params
+    p2, o2, s2, loss = step(
+        params, opt_state, state,
+        jax.device_put(batch, shardings), jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(loss))
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(np.asarray(b)).sum()),
+        jax.tree_util.tree_map(lambda a, b: np.asarray(a) - b, p2, before), 0.0,
+    )
+    assert delta > 0
