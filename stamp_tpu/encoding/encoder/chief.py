@@ -83,8 +83,6 @@ def convert_chief_state_dict(sd: dict) -> dict:
     """Map the CHIEF_pretraining checkpoint's WSI gated-attention net (CLAM
     layout under ``attention_net``: Linear stem, gated attention a/b/c) onto
     the flat param dict ``ChiefAttentionNet`` consumes."""
-    import numpy as np
-
     return {
         "fc_w": np.asarray(sd["attention_net.0.weight"]),
         "fc_b": np.asarray(sd["attention_net.0.bias"]),

@@ -39,6 +39,16 @@ supported_extensions = {
 }  # fmt: skip
 
 
+def _debatch(out, target: str | None):
+    """Select a multi-target head (barspoon dict output) and drop the
+    batch axis; with ``target=None`` a dict stays a dict, per target."""
+    if target is not None:
+        out = out[target]
+    if isinstance(out, dict):
+        return {k: v[0] for k, v in out.items()}
+    return out[0]
+
+
 def _forward_fn(model, variables, target: str | None = None):
     """Whole-bag forward.  For multi-target models (barspoon) pass
     ``target`` to select one head's logits; with ``target=None`` a dict
@@ -50,12 +60,7 @@ def _forward_fn(model, variables, target: str | None = None):
         kwargs: dict = dict(train=False)
         if uses_coords:
             kwargs.update(coords=coords[None], key_mask=None)
-        out = module.apply(variables, feats[None], **kwargs)
-        if target is not None:
-            out = out[target]
-        if isinstance(out, dict):
-            return {k: v[0] for k, v in out.items()}
-        return out[0]
+        return _debatch(module.apply(variables, feats[None], **kwargs), target)
 
     return fwd
 
@@ -189,10 +194,7 @@ def _per_tile_scores(
         kwargs: dict = dict(train=False)
         if uses_coords:
             kwargs.update(coords=c[None, None], key_mask=None)
-        out = module.apply(variables, f[None, None], **kwargs)
-        if target is not None:
-            out = out[target]
-        return out[0]
+        return _debatch(module.apply(variables, f[None, None], **kwargs), target)
 
     logits = jax.vmap(single)(jnp.asarray(feats), jnp.asarray(coords))
     return np.asarray(jax.nn.softmax(logits, axis=1))

@@ -18,8 +18,6 @@ rebuild's new capability (SURVEY §2.3/§7.8).
 from __future__ import annotations
 
 import os
-import socket
-import subprocess
 import sys
 from pathlib import Path
 
@@ -221,58 +219,15 @@ def launch_local_fleet(
 ) -> str:
     """Spawn an n-process local fleet of this dry-run; returns combined
     output.  Raises on failure or if any worker misses the OK sentinel."""
-    with socket.socket() as s:  # grab a free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    from stamp_tpu.parallel._fleet_launch import launch_fleet
 
-    repo_root = Path(__file__).resolve().parents[2]
-    env = dict(os.environ)
-    env.pop("STAMP_COORDINATOR_ADDRESS", None)
-    env.pop("STAMP_NUM_PROCESSES", None)
-    env.pop("STAMP_PROCESS_ID", None)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in [str(repo_root), env.get("PYTHONPATH")] if p
+    return launch_fleet(
+        "stamp_tpu.parallel._dist_dryrun",
+        [str(local_devices)],
+        n_processes=n_processes,
+        timeout=timeout,
+        ok_sentinel=_OK_SENTINEL,
     )
-
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "stamp_tpu.parallel._dist_dryrun",
-                str(pid),
-                str(n_processes),
-                str(port),
-                str(local_devices),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-            cwd=repo_root,
-        )
-        for pid in range(n_processes)
-    ]
-    outputs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outputs.append(out)
-            if p.returncode != 0:
-                raise RuntimeError(
-                    f"distributed dry-run worker failed (rc={p.returncode}):\n{out}"
-                )
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    combined = "\n".join(outputs)
-    for pid in range(n_processes):
-        if f"{_OK_SENTINEL} pid={pid}" not in combined:
-            raise RuntimeError(
-                f"worker {pid} missing OK sentinel in output:\n{combined}"
-            )
-    return combined
 
 
 if __name__ == "__main__":

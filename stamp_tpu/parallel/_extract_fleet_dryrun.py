@@ -22,8 +22,6 @@ Run a worker by hand:
 from __future__ import annotations
 
 import os
-import socket
-import subprocess
 import sys
 from pathlib import Path
 
@@ -134,65 +132,21 @@ def launch_extract_fleet(
     """Spawn an n-process extraction fleet over a shared output dir; returns
     combined output.  ``crash_pid`` makes that worker exit before extracting
     (its share is left for a later run)."""
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    from stamp_tpu.parallel._fleet_launch import launch_fleet
 
-    repo_root = Path(__file__).resolve().parents[2]
-    env = dict(os.environ)
-    for k in ("STAMP_COORDINATOR_ADDRESS", "STAMP_NUM_PROCESSES", "STAMP_PROCESS_ID"):
-        env.pop(k, None)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in [str(repo_root), env.get("PYTHONPATH")] if p
+    env_extra = (
+        {"STAMP_FLEET_EXIT_EARLY": str(crash_pid)} if crash_pid is not None else None
     )
-    if crash_pid is not None:
-        env["STAMP_FLEET_EXIT_EARLY"] = str(crash_pid)
-    else:
-        env.pop("STAMP_FLEET_EXIT_EARLY", None)
-
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "stamp_tpu.parallel._extract_fleet_dryrun",
-                str(pid),
-                str(n_processes),
-                str(port),
-                str(wsi_dir),
-                str(out_dir),
-                str(local_devices),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-            cwd=repo_root,
-        )
-        for pid in range(n_processes)
-    ]
-    outputs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outputs.append(out)
-            if p.returncode != 0:
-                raise RuntimeError(
-                    f"extract-fleet worker failed (rc={p.returncode}):\n{out}"
-                )
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    combined = "\n".join(outputs)
-    for pid in range(n_processes):
-        if pid == crash_pid:
-            continue
-        if f"{_OK_SENTINEL} pid={pid}" not in combined:
-            raise RuntimeError(
-                f"worker {pid} missing OK sentinel in output:\n{combined}"
-            )
-    return combined
+    return launch_fleet(
+        "stamp_tpu.parallel._extract_fleet_dryrun",
+        [str(wsi_dir), str(out_dir), str(local_devices)],
+        n_processes=n_processes,
+        timeout=timeout,
+        ok_sentinel=_OK_SENTINEL,
+        expect_ok=[p for p in range(n_processes) if p != crash_pid],
+        env_extra=env_extra,
+        env_drop=() if crash_pid is not None else ("STAMP_FLEET_EXIT_EARLY",),
+    )
 
 
 if __name__ == "__main__":
