@@ -788,8 +788,19 @@ def _train_model_impl(
         train_outputs = []
         if mesh is not None:
             # mesh path: per-batch global sharding instead of single-device
-            # prefetch; ragged trailing batches are dropped (their rows
-            # cannot split evenly over the dp axes)
+            # prefetch; ragged batches are padded to the next dp multiple by
+            # cycling their own rows (dropping them instead can drop EVERY
+            # batch of a small cohort — one silent nan-loss epoch and an
+            # untrained model, observed with 19 train patients on dp=4).
+            # The repeated rows double-count in that batch's loss mean —
+            # bounded, trailing-batch-only deviation from the reference's
+            # exact single-device mean.
+            def _pad_rows(tree, n_rows: int, n_target: int):
+                idx = np.arange(n_target) % n_rows
+                return jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[idx], tree
+                )
+
             def _mesh_feed():
                 feed = (
                     _bucketed(train_dl)
@@ -799,11 +810,14 @@ def _train_model_impl(
                 for batch, key_mask in feed:
                     n_rows = batch[0].shape[0]
                     if n_rows % dp_total != 0:
+                        n_target = -(-n_rows // dp_total) * dp_total
                         _logger.debug(
-                            f"dropping ragged batch of {n_rows} rows "
-                            f"(dp={dp_total})"
+                            f"padding ragged batch {n_rows} → {n_target} "
+                            f"rows (dp={dp_total}) by cycling rows"
                         )
-                        continue
+                        batch = _pad_rows(batch, n_rows, n_target)
+                        if key_mask is not None:
+                            key_mask = _pad_rows(key_mask, n_rows, n_target)
                     if (
                         sp_axis
                         and len(batch) == 4
@@ -847,6 +861,12 @@ def _train_model_impl(
                 train_outputs.append(_host_array(outputs).reshape(-1))
             global_step += 1
 
+        if not train_losses:
+            raise ValueError(
+                "training epoch produced zero steps — the dataloader yielded "
+                "no usable batches (empty cohort or every batch filtered); "
+                "a silent nan-loss epoch would leave the model untrained."
+            )
         train_loss = float(np.mean([np.asarray(loss) for loss in train_losses]))
 
         if is_survival and train_outputs:

@@ -209,3 +209,67 @@ def test_extract_fleet_crashed_worker_pickup(tmp_path):
         1 for line in combined.splitlines() if "already exists" in line
     )
     assert n_skipped == len(after_crash)
+
+
+def test_train_model_mesh_ragged_batches(tmp_path):
+    """Batches whose row count doesn't divide the dp axes are padded by
+    cycling rows, NOT dropped: a small cohort whose every batch is ragged
+    must still train (dropping them all used to leave nan training loss
+    and an untrained model, silently)."""
+    from stamp_tpu.modeling.tasks import LitTileClassifier
+    from stamp_tpu.modeling.train import train_model_
+    from stamp_tpu.models.vision_transformer import VisionTransformer
+    from stamp_tpu.utils.seed import Seed
+
+    Seed.set(0)
+    feat_dim, bag = 12, 16
+
+    def mk_batch(seed: int, b: int):
+        r = np.random.default_rng(seed)
+        return (
+            r.normal(size=(b, bag, feat_dim)).astype(np.float32),
+            r.uniform(size=(b, bag, 2)).astype(np.float32) * 1000,
+            np.full((b,), bag, np.int32),
+            np.tile(np.array([[1.0, 0.0]], np.float32), (b, 1)),
+        )
+
+    class FixedBatches:
+        def __init__(self, batches):
+            self._batches = batches
+
+        def __len__(self):
+            return len(self._batches)
+
+        def __iter__(self):
+            return iter(self._batches)
+
+    model = LitTileClassifier(
+        model_class=VisionTransformer,
+        ground_truth_label="gt",
+        categories=["neg", "pos"],
+        category_weights=np.array([0.5, 0.5], np.float32),
+        dim_input=feat_dim,
+        model_name="vit",
+        dim_model=16,
+        dim_feedforward=16,
+        n_heads=4,
+        n_layers=1,
+        total_steps=4,
+    )
+    # 6 and 7 rows — both ragged on dp=4
+    train_model_(
+        output_dir=tmp_path,
+        model=model,
+        train_dl=FixedBatches([mk_batch(1, 6), mk_batch(2, 7)]),
+        valid_dl=FixedBatches([mk_batch(3, 2)]),
+        max_epochs=2,
+        patience=2,
+        mesh_shape={"dp": 4, "sp": 2},
+    )
+    assert (tmp_path / "model.ckpt").exists()
+    import csv
+
+    with open(tmp_path / "lightning_logs" / "version_0" / "metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["training_loss"]) for r in rows if r.get("training_loss")]
+    assert losses and all(np.isfinite(losses)), losses
